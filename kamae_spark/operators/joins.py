@@ -1,0 +1,183 @@
+"""Point-in-time as-of join — the north-rule centerpiece.
+
+The reference implements NO joins (SURVEY.md §2.9 — verified: no
+``.join(`` under src/kamae/spark); this operator is new, designed
+Spark-first.
+
+Semantics: for each left row (turn), attach the payload of the latest
+right row (annotation) with the same key and ``right.ts <= left.ts``
+(ties: annotation wins), null if none — pandas
+``merge_asof(direction="backward")`` semantics, leak-proof by
+construction.
+
+Two physical strategies, selectable per call:
+
+- ``union`` (default, scales to any right size): tag both sides, union,
+  one window pass of ``last(payload, ignorenulls=True)`` over
+  (key) ordered by (ts, side) with an UNBOUNDED PRECEDING frame, filter
+  back to left rows. Cost: ONE shuffle of left+right on the key — no
+  join node at all, no row explosion, skew bounded by per-key group
+  size. This is the 100 TB path: a sort-merge join + groupwise filter
+  would shuffle the same bytes but also materialize match candidates.
+- ``broadcast``: plain range-join ``left.join(broadcast(right), key AND
+  l.ts >= r.ts)`` + row_number pick of the latest. Right side must be
+  driver-small; zero shuffle of the (huge) left side beyond what the
+  plan already has. Use when annotations are a small dimension.
+
+``tolerance_seconds`` bounds the lookback (rows older than the bound do
+not fill forward). Implemented in the union path by nulling payloads
+whose source ts is out of range after the fill — requires carrying the
+fill-source ts, one extra ``last`` over the same window (same shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kamae_spark.core.stage import Transformer, keyword_params
+
+UNB = Window.unboundedPreceding
+CUR = Window.currentRow
+
+
+class AsOfJoin(Transformer):
+    """As-of join a right DataFrame onto the pipeline's left DataFrame.
+
+    The right side is supplied at construction (DataFrame) or via
+    ``right_path`` (parquet path, for serializable pipelines).
+    ``payload_cols`` are the right columns to attach (default: all
+    non-key, non-ts).
+    """
+
+    @keyword_params
+    def __init__(
+        self,
+        on: Sequence[str] = ("conv_id",),
+        left_ts: str = "ts",
+        right_ts: str = "ts",
+        payload_cols: Sequence[str] | None = None,
+        suffix: str = "_asof",
+        strategy: str = "union",
+        tolerance_seconds: int | None = None,
+        right_path: str | None = None,
+        right: DataFrame | None = None,
+    ):
+        if strategy not in ("union", "broadcast"):
+            raise ValueError("strategy must be union|broadcast")
+
+    def params(self):
+        p = super().params()
+        p.pop("right", None)  # DataFrames are not serializable; keep right_path
+        return p
+
+    @property
+    def input_columns(self):
+        return [*self.on, self.left_ts]
+
+    @property
+    def output_columns(self):
+        if self.payload_cols is None:
+            return []  # unknown until transform time
+        return [f"{c}{self.suffix}" for c in self.payload_cols]
+
+    def _right_df(self, df: DataFrame) -> DataFrame:
+        if self.right is not None:
+            return self.right
+        if self.right_path:
+            return df.sparkSession.read.parquet(self.right_path)
+        raise ValueError("AsOfJoin needs `right` DataFrame or `right_path`")
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        right = self._right_df(df)
+        payload = list(
+            self.payload_cols
+            if self.payload_cols is not None
+            else [c for c in right.columns if c not in (*self.on, self.right_ts)]
+        )
+        if self.strategy == "broadcast":
+            return self._broadcast(df, right, payload)
+        return self._union(df, right, payload)
+
+    # -- broadcast range-join path ---------------------------------------
+    def _broadcast(self, left: DataFrame, right: DataFrame, payload: list[str]) -> DataFrame:
+        r = right.select(
+            *[F.col(k).alias(f"__r_{k}") for k in self.on],
+            F.col(self.right_ts).alias("__r_ts"),
+            *[F.col(c).alias(f"{c}{self.suffix}") for c in payload],
+        )
+        cond = F.lit(True)
+        for k in self.on:
+            cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+        cond = cond & (F.col(self.left_ts) >= F.col("__r_ts"))
+        if self.tolerance_seconds is not None:
+            cond = cond & (
+                F.col(self.left_ts).cast("long") - F.col("__r_ts").cast("long")
+                <= int(self.tolerance_seconds)
+            )
+        uid = "__asof_uid"
+        left = left.select("*", F.monotonically_increasing_id().alias(uid))
+        joined = left.join(F.broadcast(r), cond, "left")
+        w = Window.partitionBy(uid).orderBy(F.col("__r_ts").desc_nulls_last())
+        out = (
+            joined.select("*", F.row_number().over(w).alias("__asof_rn"))
+            .where(F.col("__asof_rn") == 1)
+            .drop("__asof_rn", uid, "__r_ts", *[f"__r_{k}" for k in self.on])
+        )
+        return out
+
+    # -- union + window fill path (scale default) --------------------------
+    def _union(self, left: DataFrame, right: DataFrame, payload: list[str]) -> DataFrame:
+        out_cols = [f"{c}{self.suffix}" for c in payload]
+        lcols = [c for c in left.columns]
+        # common shape: left columns + payload outs + side tag + source ts
+        l_tagged = left.select(
+            *lcols,
+            *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(payload, out_cols)],
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(right.schema[self.right_ts].dataType).alias("__src_ts"),
+        )
+        r_tagged = right.select(
+            *[F.col(k) if k in right.columns else F.lit(None).alias(k) for k in self.on],
+            F.col(self.right_ts).alias(self.left_ts),
+            *[F.col(c).alias(o) for c, o in zip(payload, out_cols)],
+            F.lit(0).alias("__side"),
+            F.col(self.right_ts).alias("__src_ts"),
+        )
+        # fill missing left columns on the right side with typed nulls
+        missing = [c for c in lcols if c not in r_tagged.columns]
+        r_tagged = r_tagged.select(
+            *[
+                F.col(c) if c in r_tagged.columns else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+            ],
+            *out_cols,
+            "__side",
+            "__src_ts",
+        )
+        u = l_tagged.unionByName(r_tagged)
+        # annotation sorts before the turn at equal ts => tie goes to the annotation
+        w = (
+            Window.partitionBy(*self.on)
+            .orderBy(F.col(self.left_ts).asc(), F.col("__side").asc())
+            .rowsBetween(UNB, CUR)
+        )
+        filled = u.select(
+            "*",
+            *[F.last(o, ignorenulls=True).over(w).alias(f"__f_{o}") for o in out_cols],
+            F.last("__src_ts", ignorenulls=True).over(w).alias("__f_src_ts"),
+        )
+        res = filled.where(F.col("__side") == 1)
+        keep: list[Column] = [F.col(c) for c in lcols]
+        for o in out_cols:
+            v = F.col(f"__f_{o}")
+            if self.tolerance_seconds is not None:
+                in_range = (
+                    F.col(self.left_ts).cast("long") - F.col("__f_src_ts").cast("long")
+                    <= int(self.tolerance_seconds)
+                )
+                v = F.when(in_range, v)
+            keep.append(v.alias(o))
+        return res.select(*keep)

@@ -1,0 +1,116 @@
+"""Core pipeline machinery: toposort, select fusion, estimator-ancestor
+pruning, save/load roundtrip."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kamae_spark.core.pipeline import Pipeline, PipelineModel, _toposort
+from kamae_spark.core.stage import Estimator, Transformer, keyword_params
+
+
+class AddOne(Transformer):
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str):
+        pass
+
+    def build(self, df):
+        return {self.output_col: F.col(self.input_col) + 1}
+
+
+class MeanShift(Estimator):
+    """Toy estimator: fit global mean, transform subtracts it."""
+
+    fit_count = 0
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str, sample_fraction=None, seed=42):
+        pass
+
+    def fit(self, df):
+        MeanShift.fit_count += 1
+        mean = self._fit_input(df).agg(F.mean(self.input_col)).first()[0]
+        return ShiftBy(input_col=self.input_col, output_col=self.output_col, amount=float(mean))
+
+
+class ShiftBy(Transformer):
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str, amount: float = 0.0):
+        pass
+
+    def build(self, df):
+        return {self.output_col: F.col(self.input_col) - F.lit(self.amount)}
+
+
+def test_toposort_reorders_and_detects_cycle(spark):
+    a = AddOne(input_col="x", output_col="a")
+    b = AddOne(input_col="a", output_col="b")
+    assert [s.output_col for s in _toposort([b, a])] == ["a", "b"]
+    import pytest
+
+    c1 = AddOne(input_col="u", output_col="v")
+    c2 = AddOne(input_col="v", output_col="u")
+    with pytest.raises(ValueError, match="cycle"):
+        _toposort([c1, c2])
+
+
+def test_select_fusion_single_projection(spark):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    model = PipelineModel(
+        [
+            AddOne(input_col="x", output_col="a"),
+            AddOne(input_col="x", output_col="b"),  # independent: same batch
+            AddOne(input_col="a", output_col="c"),  # depends on a: new batch
+        ]
+    )
+    out = model.transform(df)
+    pdf = out.toPandas()
+    assert (pdf["c"] == pdf["x"] + 2).all()
+    # plan should contain no more Project nodes than batches (2) + the
+    # source df's own cast projection
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 3
+
+
+def test_estimator_ancestor_pruning(spark):
+    MeanShift.fit_count = 0
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    pipe = Pipeline(
+        [
+            AddOne(input_col="x", output_col="a"),
+            MeanShift(input_col="a", output_col="a_centered"),
+            AddOne(input_col="x", output_col="unrelated"),  # NOT an ancestor
+        ]
+    )
+    model = pipe.fit(df)
+    out = model.transform(df).toPandas()
+    # mean(a) = mean(x)+1 = 50.5 -> centered values are x+1-50.5
+    pd.testing.assert_series_equal(
+        out["a_centered"], out["x"] + 1 - 50.5, check_names=False
+    )
+    assert "unrelated" in out.columns
+    assert MeanShift.fit_count == 1
+
+
+def test_pipeline_save_load_roundtrip(spark, tmp_path):
+    df = spark.range(10).select(F.col("id").cast("double").alias("x"))
+    pipe = Pipeline(
+        [AddOne(input_col="x", output_col="a"), MeanShift(input_col="a", output_col="ac")]
+    )
+    p = str(tmp_path / "pipe.json")
+    pipe.save(p)
+    pipe2 = Pipeline.load(p)
+    model = pipe2.fit(df)
+    mp = str(tmp_path / "model.json")
+    model.save(mp)
+    model2 = PipelineModel.load(mp)
+    a = model.transform(df).toPandas()
+    b = model2.transform(df).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_nested_pipeline_flattening(spark):
+    inner = Pipeline([AddOne(input_col="x", output_col="a")])
+    outer = Pipeline([inner, AddOne(input_col="a", output_col="b")])
+    assert len(outer.stages) == 2
