@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md protocol).
+
+Runs the headline feature-engineering queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "turns": N, "turns_per_sec": T}
+
+Each query is forced end-to-end with a noop-format write (full
+computation of every column, no disk cost). The flagship throughput
+number (turns/sec, the BASELINE.json north metric) also runs over a
+deterministic JVM-side synthetic transcript table ~10x the events table
+so timing is not dominated by session overhead at small SF.
+
+Scaling protocol (north rule: efficiency >= 0.8 from N to 4N): run
+``python scripts/scaling_bench.py`` — executes this file at
+SPARK_GRAFT_CPUS=8 and 32 on identical input and reports both
+throughputs + efficiency into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_CONVS = int(os.environ.get("KAMAE_BENCH_SYNTH_CONVS", "60000"))
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kamae_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("KAMAE_BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> None:
+    """Compute every column end-to-end (no disk cost, no column pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _feature_model(ann):
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.joins import AsOfJoin
+    from kamae_spark.operators.windows import (
+        Backfill,
+        ConditionalRollingCount,
+        Lag,
+        Lead,
+        ListAgg,
+        RollingAgg,
+        Sessionize,
+    )
+
+    order = ("ts", "turn_idx")
+    return PipelineModel(
+        [
+            Lag(input_col="text", output_col="prev_text", order_by=order),
+            Lead(input_col="text", output_col="next_text", order_by=order),
+            Lag(input_col="ts", output_col="prev_ts", order_by=order),
+            RollingAgg(input_col="turn_idx", output_col="turns_5", agg="count", rows=5, order_by=order),
+            RollingAgg(input_col="turn_idx", output_col="mean_10", agg="mean", rows=10, order_by=order),
+            ConditionalRollingCount(input_col="role", output_col="role_freq_10", value="assistant", rows=10, order_by=order),
+            Backfill(input_col="tool", output_col="tool_ff", order_by=order),
+            Sessionize(ts_col="ts", output_col="session_idx", gap_seconds=1800, order_by=order, session_id_col="session_id"),
+            ListAgg(input_col="turn_idx", output_col="conv_len", agg="count"),
+            AsOfJoin(on=("conv_id",), right=ann, strategy="union"),
+        ]
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from kamae_spark.sources.synth import annotations_table, transcripts_table
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- per-operator queries over the SF-dir events table ----------------
+    per_op = ["w_lag_lead", "w_rolling", "w_backfill", "w_sessionize",
+              "w_list_stats", "asof_join"]
+    qmap = entrymod.queries()
+    for name in per_op:
+        if name not in qmap:
+            continue
+        df = qmap[name](spark, SF_DIR)
+        df.count()  # warm: parquet footer reads, plan analysis
+        t0 = time.perf_counter()
+        _force(df)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    # -- flagship end-to-end over events-derived transcripts --------------
+    t = entrymod._transcripts(spark, SF_DIR).cache()
+    n_events = t.count()
+    ann = entrymod._annotations(spark, SF_DIR)
+    model = _feature_model(ann)
+    out = model.transform(t)
+    _force(out)  # warm
+    t0 = time.perf_counter()
+    _force(out)
+    queries["feature_pipeline_events"] = round(time.perf_counter() - t0, 3)
+    extras["events_turns"] = n_events
+    t.unpersist()
+
+    # -- flagship over synthetic transcripts (~10x the events rows) -------
+    synth = transcripts_table(spark, n_convs=SYNTH_CONVS).cache()
+    n_synth = synth.count()
+    ann_s = annotations_table(spark, synth)
+    out_s = _feature_model(ann_s).transform(synth)
+    _force(out_s)  # warm
+    t0 = time.perf_counter()
+    _force(out_s)
+    dt = time.perf_counter() - t0
+    queries["feature_pipeline_synth"] = round(dt, 3)
+    extras["synth_turns"] = n_synth
+    extras["turns_per_sec"] = round(n_synth / dt, 1)
+    synth.unpersist()
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "feature_pipeline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,13 @@
 # Operator package: importing submodules registers their stages.
 from kamae_spark.operators import (  # noqa: F401
-    windows,
+    arrays,
+    conditional,
+    datetimes,
+    hashing,
+    indexers,
     joins,
+    math,
+    scalers,
+    strings,
+    windows,
 )

@@ -1,0 +1,240 @@
+"""Vocabulary indexers / one-hot encoders (reference SURVEY.md §2.7).
+
+Re-engineered Spark-first versus the reference:
+
+- vocab FIT uses ``groupBy(col).count().orderBy(...)`` (+ explode for
+  array columns) instead of the reference's driver-side RDD
+  map/reduceByKey (indexer_utils.py:100-129); frequency ties are broken
+  by label ascending so vocab order is DETERMINISTIC (the reference's
+  rdd.sortBy leaves ties ambiguous)
+- TRANSFORM is a pure Column expression: a map literal
+  (``F.map_from_arrays``) lookup plus an ``xxhash64`` OOV bucket —
+  replacing the reference's per-row Python UDF with its O(|V|)
+  ``labels.index()`` scan (user_defined_functions.py:46-102), the
+  reference's single worst hot path. At 100 TB this is the difference
+  between a broadcast hashmap probe in codegen and a Python process
+  boundary per row.
+- OOV hashing uses Spark's JVM-side xxhash64 rather than farmhash64
+  (the reference chose farmhash for TensorFlow serving parity, which we
+  do not target; pyfarmhash is unavailable here). Bucket layout is
+  identical: mask->0, OOV buckets after mask, vocab after OOV.
+
+Index layout (reference user_defined_functions.py:46-102):
+  null -> 0 (requires num_oov > 0); mask_token -> 0;
+  OOV -> pmod(hash, num_oov) + start where start = 1 if mask else 0;
+  vocab[i] -> i + num_oov + start.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kamae_spark.core.dtypes import column_info
+from kamae_spark.core.stage import Estimator, keyword_params
+from kamae_spark.functions.arrays import flatten_nested
+from kamae_spark.operators.rowwise import ElementwiseTransform
+
+
+def collect_labels(
+    df: DataFrame,
+    cols: Sequence[str],
+    order: str = "frequencyDesc",
+    mask_token: str | None = None,
+    max_num_labels: int | None = None,
+) -> list[str]:
+    """Distributed vocab collection over one or more (possibly nested
+    array) string columns. Only the final (bounded) vocab reaches the
+    driver."""
+    if order not in ("frequencyAsc", "frequencyDesc", "alphabeticalAsc", "alphabeticalDesc"):
+        raise ValueError(f"unknown string_order_type {order!r}")
+    parts = []
+    for c in cols:
+        level, _ = column_info(df, c)
+        col = F.col(c).cast("string") if level == 0 else flatten_nested(F.col(c), level)
+        sel = df.select(col.alias("v"))
+        if level > 0:
+            sel = sel.select(F.explode("v").alias("v")).select(F.col("v").cast("string").alias("v"))
+        parts.append(sel)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u = u.where(F.col("v").isNotNull())
+    if mask_token is not None:
+        u = u.where(F.col("v") != mask_token)
+    if order.startswith("frequency"):
+        asc = order == "frequencyAsc"
+        counted = u.groupBy("v").count()
+        ordered = counted.orderBy(
+            F.col("count").asc() if asc else F.col("count").desc(), F.col("v").asc()
+        )
+    else:
+        asc = order == "alphabeticalAsc"
+        ordered = u.distinct().orderBy(F.col("v").asc() if asc else F.col("v").desc())
+    if max_num_labels is not None:
+        ordered = ordered.limit(int(max_num_labels))
+    return [r["v"] for r in ordered.select("v").collect()]
+
+
+class StringIndexTransformer(ElementwiseTransform):
+    """Fitted vocab lookup (see module docstring for index layout)."""
+
+    compatible_dtypes = ("string",)
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 labels: Sequence[str] = (), mask_token: str | None = None,
+                 num_oov_indices: int = 1,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def _index_expr(self, x: Column) -> Column:
+        start = 1 if self.mask_token is not None else 0
+        offset = start + self.num_oov_indices
+        labels = list(self.labels)
+        lookup = F.try_element_at(
+            F.map_from_arrays(
+                F.lit(labels), F.lit(list(range(offset, offset + len(labels))))
+            ),
+            x,
+        )
+        if self.num_oov_indices > 0:
+            oov = (F.pmod(F.xxhash64(x), F.lit(self.num_oov_indices)) + start).cast("int")
+            expr = F.coalesce(lookup, oov)
+            expr = F.when(x.isNull(), F.lit(0)).otherwise(expr)
+        else:
+            expr = lookup  # unseen/null -> null (reference raises per-row)
+        if self.mask_token is not None:
+            expr = F.when(x == F.lit(self.mask_token), F.lit(0)).otherwise(expr)
+        return expr.cast("int")
+
+    def fn(self, x: Column) -> Column:
+        return self._index_expr(x)
+
+
+class StringIndexEstimator(Estimator):
+    """Fit an ordered vocab (reference estimators/string_index.py:104-136)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 string_order_type: str = "frequencyDesc",
+                 mask_token: str | None = None, num_oov_indices: int = 1,
+                 max_num_labels: int | None = None,
+                 sample_fraction: float | None = None, seed: int = 42,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def fit(self, df: DataFrame) -> StringIndexTransformer:
+        labels = collect_labels(
+            self._fit_input(df), [self.input_col], self.string_order_type,
+            self.mask_token, self.max_num_labels,
+        )
+        return StringIndexTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            labels=labels, mask_token=self.mask_token,
+            num_oov_indices=self.num_oov_indices,
+            input_dtype=self.input_dtype, output_dtype=self.output_dtype,
+        )
+
+
+class SharedStringIndexEstimator(Estimator):
+    """One vocab across N columns (reference shared_string_index.py:105);
+    yields one transformer per column sharing the fitted labels."""
+
+    @keyword_params
+    def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
+                 string_order_type: str = "frequencyDesc",
+                 mask_token: str | None = None, num_oov_indices: int = 1,
+                 max_num_labels: int | None = None,
+                 sample_fraction: float | None = None, seed: int = 42):
+        if len(input_cols) != len(output_cols):
+            raise ValueError("input_cols and output_cols must align")
+
+    def fit(self, df: DataFrame) -> "SharedStringIndexTransformer":
+        labels = collect_labels(
+            self._fit_input(df), list(self.input_cols), self.string_order_type,
+            self.mask_token, self.max_num_labels,
+        )
+        return SharedStringIndexTransformer(
+            input_cols=list(self.input_cols), output_cols=list(self.output_cols),
+            labels=labels, mask_token=self.mask_token,
+            num_oov_indices=self.num_oov_indices,
+        )
+
+
+class SharedStringIndexTransformer(StringIndexTransformer):
+    """Applies the shared vocab to each input column independently."""
+
+    @keyword_params
+    def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
+                 labels: Sequence[str] = (), mask_token: str | None = None,
+                 num_oov_indices: int = 1):
+        pass
+
+    def build(self, df: DataFrame):
+        from kamae_spark.functions.arrays import elementwise
+
+        out = {}
+        for in_c, out_c in zip(self.input_cols, self.output_cols):
+            expr, _ = elementwise(df, [in_c], self._index_expr)
+            out[out_c] = expr
+        return out
+
+
+class OneHotTransformer(ElementwiseTransform):
+    """One-hot from the fitted vocab (reference one_hot_encode.py:129,
+    user_defined_functions.py:105-139) as a pure expression."""
+
+    compatible_dtypes = ("string",)
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 labels: Sequence[str] = (), mask_token: str | None = None,
+                 num_oov_indices: int = 1, drop_unseen: bool = False,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def fn(self, x: Column) -> Column:
+        idx_t = StringIndexTransformer(
+            input_col=self.input_col, output_col="_",
+            labels=list(self.labels), mask_token=self.mask_token,
+            num_oov_indices=self.num_oov_indices,
+        )
+        idx = idx_t._index_expr(x)
+        start = 1 if self.mask_token is not None else 0
+        offset = start + self.num_oov_indices
+        if self.drop_unseen:
+            n = len(self.labels)
+            target = idx - offset
+        else:
+            n = len(self.labels) + offset
+            target = idx
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda j: F.when(j == target, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
+
+class OneHotEncodeEstimator(Estimator):
+    """Fit vocab then one-hot (reference estimators/one_hot_encode.py:117)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 string_order_type: str = "frequencyDesc",
+                 mask_token: str | None = None, num_oov_indices: int = 1,
+                 drop_unseen: bool = False, max_num_labels: int | None = None,
+                 sample_fraction: float | None = None, seed: int = 42):
+        pass
+
+    def fit(self, df: DataFrame) -> OneHotTransformer:
+        labels = collect_labels(
+            self._fit_input(df), [self.input_col], self.string_order_type,
+            self.mask_token, self.max_num_labels,
+        )
+        return OneHotTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            labels=labels, mask_token=self.mask_token,
+            num_oov_indices=self.num_oov_indices, drop_unseen=self.drop_unseen,
+        )

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kamae_spark.core.stage import Transformer, keyword_params
+from kamae_spark.functions.time import epoch_seconds
 
 UNB = Window.unboundedPreceding
 CUR = Window.currentRow
@@ -114,7 +115,7 @@ class AsOfJoin(Transformer):
         cond = cond & (F.col(self.left_ts) >= F.col("__r_ts"))
         if self.tolerance_seconds is not None:
             cond = cond & (
-                F.col(self.left_ts).cast("long") - F.col("__r_ts").cast("long")
+                epoch_seconds(F.col(self.left_ts)) - epoch_seconds(F.col("__r_ts"))
                 <= int(self.tolerance_seconds)
             )
         uid = "__asof_uid"
@@ -175,7 +176,7 @@ class AsOfJoin(Transformer):
             v = F.col(f"__f_{o}")
             if self.tolerance_seconds is not None:
                 in_range = (
-                    F.col(self.left_ts).cast("long") - F.col("__f_src_ts").cast("long")
+                    epoch_seconds(F.col(self.left_ts)) - epoch_seconds(F.col("__f_src_ts"))
                     <= int(self.tolerance_seconds)
                 )
                 v = F.when(in_range, v)

@@ -1,0 +1,315 @@
+"""Scalers & imputation (reference SURVEY.md §2.7).
+
+Fits are single-pass ``df.agg`` jobs (reference estimators/standard_scale.py:
+100-163, min_max_scale.py:102, impute.py:110-162). Per-dimension stats on
+array columns use one agg over ``element_at`` projections — NO explode, no
+shuffle: a map-side partial aggregate that collapses to one row.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kamae_spark.core.dtypes import NUMERIC, column_info
+from kamae_spark.core.stage import Estimator, keyword_params
+from kamae_spark.functions.arrays import flatten_nested, nested_transform
+from kamae_spark.operators.rowwise import ElementwiseTransform
+
+
+def _masked(col: Column, mask_value: float | None) -> Column:
+    if mask_value is None:
+        return col
+    return F.when(col != F.lit(mask_value), col)
+
+
+def _array_dim(df: DataFrame, col: str) -> int:
+    row = df.select(F.size(F.col(col)).alias("n")).where(F.col(col).isNotNull()).first()
+    if row is None:
+        raise ValueError(f"cannot infer array dim of empty column {col}")
+    return int(row["n"])
+
+
+class StandardScaleTransformer(ElementwiseTransform):
+    """(x - mean) / stddev, per element for array inputs; mask values
+    pass through unscaled (reference transformers/standard_scale.py:99)."""
+
+    compatible_dtypes = NUMERIC
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 mean: Sequence[float] | float = 0.0,
+                 stddev: Sequence[float] | float = 1.0,
+                 mask_value: float | None = None,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def build(self, df: DataFrame):
+        self._validate(df)
+        level, _ = column_info(df, self.input_col)
+        col = self._in(df, self.input_col)
+        scalar_stats = not isinstance(self.mean, (list, tuple))
+
+        if scalar_stats:
+            m, s = F.lit(float(self.mean)), F.lit(float(self.stddev))
+
+            def scale(x: Column) -> Column:
+                out = (x - m) / s
+                if self.mask_value is not None:
+                    return F.when(x == F.lit(self.mask_value), x).otherwise(out)
+                return out
+
+            expr = nested_transform(col, scale, level)
+        else:
+            means = F.lit([float(v) for v in self.mean])
+            stds = F.lit([float(v) for v in self.stddev])
+            if level < 1:
+                raise TypeError("per-element stats require an array input column")
+
+            def scale_arr(arr: Column) -> Column:
+                def at(x: Column, i: Column) -> Column:
+                    out = (x - F.element_at(means, i + 1)) / F.element_at(stds, i + 1)
+                    if self.mask_value is not None:
+                        return F.when(x == F.lit(self.mask_value), x).otherwise(out)
+                    return out
+
+                return F.transform(arr, at)
+
+            expr = nested_transform(col, scale_arr, level - 1)
+        return {self.output_col: self._out(df, expr, level)}
+
+
+class StandardScaleEstimator(Estimator):
+    """Fit per-element mean / population stddev, mask-aware (reference
+    estimators/standard_scale.py:100-163; stddev_pop per :136-144)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 mask_value: float | None = None,
+                 sample_fraction: float | None = None, seed: int = 42,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def fit(self, df: DataFrame) -> StandardScaleTransformer:
+        src = self._fit_input(df)
+        level, _ = column_info(df, self.input_col)
+        c = F.col(self.input_col)
+        if level == 0:
+            v = _masked(c.cast("double"), self.mask_value)
+            row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
+            mean, std = float(row["m"]), float(row["s"])
+        else:
+            dim = _array_dim(src, self.input_col)
+            aggs = []
+            for i in range(dim):
+                e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
+                aggs += [F.mean(e).alias(f"m{i}"), F.stddev_pop(e).alias(f"s{i}")]
+            row = src.agg(*aggs).first()
+            mean = [float(row[f"m{i}"]) for i in range(dim)]
+            std = [float(row[f"s{i}"]) for i in range(dim)]
+        return StandardScaleTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            mean=mean, stddev=std, mask_value=self.mask_value,
+            input_dtype=self.input_dtype, output_dtype=self.output_dtype,
+        )
+
+
+class SingleFeatureArrayStandardScaleEstimator(Estimator):
+    """ONE shared mean/stddev over ALL elements of an array column
+    (reference single_feature_array_standard_scale.py:96-146) — computed
+    without explode via per-row F.aggregate partial sums."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 sample_fraction: float | None = None, seed: int = 42):
+        pass
+
+    def fit(self, df: DataFrame) -> StandardScaleTransformer:
+        src = self._fit_input(df)
+        level, _ = column_info(df, self.input_col)
+        col = F.col(self.input_col)
+        flat = col if level <= 1 else flatten_nested(col, level)
+        s1 = F.aggregate(flat, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        s2 = F.aggregate(flat, F.lit(0.0), lambda a, x: a + (x * x).cast("double"))
+        row = src.agg(
+            F.sum(s1).alias("s1"), F.sum(s2).alias("s2"), F.sum(F.size(flat)).alias("n")
+        ).first()
+        n = float(row["n"])
+        mean = float(row["s1"]) / n
+        var = float(row["s2"]) / n - mean * mean
+        return StandardScaleTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            mean=mean, stddev=max(var, 0.0) ** 0.5,
+        )
+
+
+class MinMaxScaleTransformer(ElementwiseTransform):
+    """(x - min) / (max - min), per element for arrays (reference
+    transformers/min_max_scale.py:163)."""
+
+    compatible_dtypes = NUMERIC
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 min: Sequence[float] | float = 0.0,
+                 max: Sequence[float] | float = 1.0,
+                 mask_value: float | None = None,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def build(self, df: DataFrame):
+        self._validate(df)
+        level, _ = column_info(df, self.input_col)
+        col = self._in(df, self.input_col)
+        scalar_stats = not isinstance(self.min, (list, tuple))
+        if scalar_stats:
+            lo, hi = F.lit(float(self.min)), F.lit(float(self.max))
+
+            def scale(x: Column) -> Column:
+                out = (x - lo) / (hi - lo)
+                if self.mask_value is not None:
+                    return F.when(x == F.lit(self.mask_value), x).otherwise(out)
+                return out
+
+            expr = nested_transform(col, scale, level)
+        else:
+            los = F.lit([float(v) for v in self.min])
+            his = F.lit([float(v) for v in self.max])
+
+            def scale_arr(arr: Column) -> Column:
+                def at(x: Column, i: Column) -> Column:
+                    lo = F.element_at(los, i + 1)
+                    hi = F.element_at(his, i + 1)
+                    out = (x - lo) / (hi - lo)
+                    if self.mask_value is not None:
+                        return F.when(x == F.lit(self.mask_value), x).otherwise(out)
+                    return out
+
+                return F.transform(arr, at)
+
+            expr = nested_transform(col, scale_arr, level - 1)
+        return {self.output_col: self._out(df, expr, level)}
+
+
+class MinMaxScaleEstimator(Estimator):
+    """Fit per-element min/max (reference estimators/min_max_scale.py:102)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 mask_value: float | None = None,
+                 sample_fraction: float | None = None, seed: int = 42):
+        pass
+
+    def fit(self, df: DataFrame) -> MinMaxScaleTransformer:
+        src = self._fit_input(df)
+        level, _ = column_info(df, self.input_col)
+        c = F.col(self.input_col)
+        if level == 0:
+            v = _masked(c.cast("double"), self.mask_value)
+            row = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+            lo, hi = float(row["lo"]), float(row["hi"])
+        else:
+            dim = _array_dim(src, self.input_col)
+            aggs = []
+            for i in range(dim):
+                e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
+                aggs += [F.min(e).alias(f"lo{i}"), F.max(e).alias(f"hi{i}")]
+            row = src.agg(*aggs).first()
+            lo = [float(row[f"lo{i}"]) for i in range(dim)]
+            hi = [float(row[f"hi{i}"]) for i in range(dim)]
+        return MinMaxScaleTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            min=lo, max=hi, mask_value=self.mask_value,
+        )
+
+
+class ConditionalStandardScaleEstimator(Estimator):
+    """Standard scale fitted over a filtered subset (SQL predicate),
+    optionally excluding zeros and/or log10-transforming first — a
+    Spark-first re-expression of the reference's mask-predicate scaler
+    (conditional_standard_scale.py:352-481; the reference's 'binary'
+    scaling function is not replicated)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 filter_expr: str | None = None, skip_zeros: bool = False,
+                 scaling: str = "standard",
+                 sample_fraction: float | None = None, seed: int = 42):
+        if scaling not in ("standard", "log10"):
+            raise ValueError("scaling must be standard|log10")
+
+    def fit(self, df: DataFrame) -> "ConditionalStandardScaleTransformer":
+        src = self._fit_input(df)
+        if self.filter_expr:
+            src = src.where(self.filter_expr)
+        v = F.col(self.input_col).cast("double")
+        if self.skip_zeros:
+            v = F.when(v != 0.0, v)
+        if self.scaling == "log10":
+            v = F.log10(v)
+        row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
+        return ConditionalStandardScaleTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            mean=float(row["m"]), stddev=float(row["s"]), scaling=self.scaling,
+            skip_zeros=self.skip_zeros,
+        )
+
+
+class ConditionalStandardScaleTransformer(ElementwiseTransform):
+    compatible_dtypes = NUMERIC
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 mean: float = 0.0, stddev: float = 1.0,
+                 scaling: str = "standard", skip_zeros: bool = False):
+        pass
+
+    def fn(self, x: Column) -> Column:
+        v = F.log10(x) if self.scaling == "log10" else x
+        out = (v - F.lit(self.mean)) / F.lit(self.stddev)
+        if self.skip_zeros:
+            return F.when(x == 0.0, x).otherwise(out)
+        return out
+
+
+class ImputeTransformer(ElementwiseTransform):
+    """Replace mask-value/null with the fitted statistic (reference
+    transformers/impute.py:146)."""
+
+    compatible_dtypes = NUMERIC
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 statistic: float = 0.0, mask_value: float | None = None,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        pass
+
+    def fn(self, x: Column) -> Column:
+        cond = x.isNull()
+        if self.mask_value is not None:
+            cond = cond | (x == F.lit(self.mask_value))
+        return F.when(cond, F.lit(self.statistic)).otherwise(x)
+
+
+class ImputeEstimator(Estimator):
+    """Fit mean or (exact) median ignoring mask/null (reference
+    estimators/impute.py:110-162; median via F.median)."""
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 strategy: str = "mean", mask_value: float | None = None,
+                 sample_fraction: float | None = None, seed: int = 42):
+        if strategy not in ("mean", "median"):
+            raise ValueError("strategy must be mean|median")
+
+    def fit(self, df: DataFrame) -> ImputeTransformer:
+        src = self._fit_input(df)
+        v = _masked(F.col(self.input_col).cast("double"), self.mask_value)
+        agg = F.mean(v) if self.strategy == "mean" else F.median(v)
+        stat = float(src.agg(agg.alias("st")).first()["st"])
+        return ImputeTransformer(
+            input_col=self.input_col, output_col=self.output_col,
+            statistic=stat, mask_value=self.mask_value,
+        )

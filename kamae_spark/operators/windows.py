@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 from kamae_spark.core.stage import Transformer, keyword_params
+from kamae_spark.functions.time import epoch_fractional, epoch_seconds
 
 UNB = Window.unboundedPreceding
 CUR = Window.currentRow
@@ -141,9 +142,15 @@ class RollingAgg(Transformer):
         if self.range_seconds is not None:
             if len(self.order_by) != 1:
                 raise ValueError("range_seconds requires exactly one order column")
-            w = Window.partitionBy(*self.partition_by).orderBy(
-                F.col(self.order_by[0]).cast("long")
-            ).rangeBetween(-int(self.range_seconds), 0)
+            oc = F.col(self.order_by[0])
+            kind = df.schema[self.order_by[0]].dataType.typeName()
+            if kind.startswith("timestamp") or kind == "date":
+                oc = epoch_seconds(oc)
+            else:
+                oc = oc.cast("long")
+            w = Window.partitionBy(*self.partition_by).orderBy(oc).rangeBetween(
+                -int(self.range_seconds), 0
+            )
         else:
             w = make_window(self.partition_by, self.order_by)
             lo = UNB if self.rows is None else -(self.rows - 1)
@@ -237,7 +244,7 @@ class Sessionize(Transformer):
 
     def transform(self, df: DataFrame) -> DataFrame:
         w = make_window(self.partition_by, self.order_by)
-        ts = F.col(self.ts_col).cast("double")
+        ts = epoch_fractional(F.col(self.ts_col))
         gap = ts - F.lag(ts).over(w)
         flag = F.when(gap > F.lit(float(self.gap_seconds)), 1).otherwise(0)
         tmp = f"__gap_flag_{self.output_col}"

@@ -1,0 +1,201 @@
+"""Estimator fit/transform golden tests (reference pattern:
+hand-computed fitted params incl. masking/null handling, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kamae_spark.core.pipeline import Pipeline, PipelineModel
+from kamae_spark.operators.hashing import BloomEncode, HashIndex, MinHashIndex
+from kamae_spark.operators.indexers import (
+    OneHotEncodeEstimator,
+    SharedStringIndexEstimator,
+    StringIndexEstimator,
+    StringIndexTransformer,
+)
+from kamae_spark.operators.scalers import (
+    ConditionalStandardScaleEstimator,
+    ImputeEstimator,
+    MinMaxScaleEstimator,
+    SingleFeatureArrayStandardScaleEstimator,
+    StandardScaleEstimator,
+)
+
+
+def test_string_index_frequency_desc(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",), (None,)], "s string"
+    )
+    est = StringIndexEstimator(input_col="s", output_col="idx", num_oov_indices=1)
+    model = est.fit(df)
+    # freq desc, ties alpha asc: c(3), a(2), b(1); offset = 1 (1 OOV, no mask)
+    assert list(model.labels) == ["c", "a", "b"]
+    got = {r["s"]: r["idx"] for r in model.transform(df).collect()}
+    assert got["c"] == 1 and got["a"] == 2 and got["b"] == 3
+    assert got[None] == 0  # null -> 0 when OOV exists
+
+
+def test_string_index_mask_and_oov(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("MASK",)], "s string")
+    model = StringIndexEstimator(
+        input_col="s", output_col="idx", mask_token="MASK", num_oov_indices=2,
+        string_order_type="alphabeticalAsc",
+    ).fit(df)
+    assert list(model.labels) == ["a", "b"]  # mask excluded from vocab
+    test = spark.createDataFrame([("MASK",), ("a",), ("b",), ("zzz",)], "s string")
+    got = {r["s"]: r["idx"] for r in model.transform(test).collect()}
+    assert got["MASK"] == 0
+    # start=1 (mask), 2 OOV buckets -> vocab starts at 3
+    assert got["a"] == 3 and got["b"] == 4
+    assert got["zzz"] in (1, 2)  # OOV bucket
+
+
+def test_string_index_nested_array(spark):
+    df = spark.createDataFrame([([["x", "y"], ["x", "x"]],)], "s array<array<string>>")
+    model = StringIndexEstimator(input_col="s", output_col="idx").fit(df)
+    assert list(model.labels) == ["x", "y"]
+    got = model.transform(df).first()["idx"]
+    assert [list(v) for v in got] == [[1, 2], [1, 1]]
+
+
+def test_shared_string_index(spark):
+    df = spark.createDataFrame([("a", "b"), ("a", "c")], "s1 string, s2 string")
+    model = SharedStringIndexEstimator(
+        input_cols=["s1", "s2"], output_cols=["i1", "i2"],
+        string_order_type="frequencyDesc",
+    ).fit(df)
+    assert list(model.labels) == ["a", "b", "c"]
+    row = model.transform(df).collect()[0]
+    assert row["i1"] == 1
+
+
+def test_one_hot(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "s string")
+    model = OneHotEncodeEstimator(input_col="s", output_col="oh").fit(df)
+    got = {r["s"]: list(r["oh"]) for r in model.transform(df).collect()}
+    # layout: [oov, a, b]
+    assert got["a"] == [0.0, 1.0, 0.0]
+    assert got["b"] == [0.0, 0.0, 1.0]
+    model_d = OneHotEncodeEstimator(
+        input_col="s", output_col="oh", drop_unseen=True
+    ).fit(df)
+    got_d = {r["s"]: list(r["oh"]) for r in model_d.transform(df).collect()}
+    assert got_d["a"] == [1.0, 0.0]
+    unseen = spark.createDataFrame([("zzz",)], "s string")
+    assert list(model_d.transform(unseen).first()["oh"]) == [0.0, 0.0]
+
+
+def test_standard_scale_scalar_and_mask(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (-1.0,)], "x double")
+    model = StandardScaleEstimator(input_col="x", output_col="z", mask_value=-1.0).fit(df)
+    assert abs(model.mean - 2.0) < 1e-9
+    assert abs(model.stddev - np.std([1, 2, 3])) < 1e-9  # population stddev
+    got = {r["x"]: r["z"] for r in model.transform(df).collect()}
+    assert got[-1.0] == -1.0  # mask passes through
+    assert abs(got[2.0]) < 1e-9
+
+
+def test_standard_scale_per_element(spark):
+    df = spark.createDataFrame(
+        [([1.0, 10.0],), ([3.0, 30.0],)], "v array<double>"
+    )
+    model = StandardScaleEstimator(input_col="v", output_col="z").fit(df)
+    assert model.mean == [2.0, 20.0]
+    got = model.transform(df).collect()
+    np.testing.assert_allclose(list(got[0]["z"]), [-1.0, -1.0])
+    np.testing.assert_allclose(list(got[1]["z"]), [1.0, 1.0])
+
+
+def test_single_feature_array_scale(spark):
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
+    model = SingleFeatureArrayStandardScaleEstimator(input_col="v", output_col="z").fit(df)
+    assert abs(model.mean - 2.5) < 1e-9
+    assert abs(model.stddev - np.std([1, 2, 3, 4])) < 1e-9
+
+
+def test_min_max_scale(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    model = MinMaxScaleEstimator(input_col="x", output_col="z").fit(df)
+    got = sorted(r["z"] for r in model.transform(df).collect())
+    np.testing.assert_allclose(got, [0.0, 0.5, 1.0])
+
+
+def test_conditional_standard_scale(spark):
+    df = spark.createDataFrame(
+        [(1.0, "keep"), (3.0, "keep"), (100.0, "drop"), (0.0, "keep")],
+        "x double, tag string",
+    )
+    model = ConditionalStandardScaleEstimator(
+        input_col="x", output_col="z", filter_expr="tag = 'keep'", skip_zeros=True
+    ).fit(df)
+    assert abs(model.mean - 2.0) < 1e-9  # only 1.0 and 3.0 contribute
+    got = {r["x"]: r["z"] for r in model.transform(df).collect()}
+    assert got[0.0] == 0.0  # skip_zeros passthrough
+
+
+def test_impute_mean_and_median(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (9.0,), (None,), (-1.0,)], "x double")
+    m_mean = ImputeEstimator(input_col="x", output_col="y", strategy="mean",
+                             mask_value=-1.0).fit(df)
+    assert abs(m_mean.statistic - 4.0) < 1e-9
+    m_med = ImputeEstimator(input_col="x", output_col="y", strategy="median",
+                            mask_value=-1.0).fit(df)
+    assert m_med.statistic == 2.0
+    got = {str(r["x"]): r["y"] for r in m_mean.transform(df).collect()}
+    assert got["None"] == 4.0 and got["-1.0"] == 4.0 and got["2.0"] == 2.0
+
+
+def test_hash_index_deterministic_range(spark):
+    df = spark.createDataFrame([("a",), ("b",), (None,), ("M",)], "s string")
+    op = HashIndex(input_col="s", output_col="h", num_bins=10, mask_value="M")
+    got = {str(r["s"]): r["h"] for r in PipelineModel([op]).transform(df).collect()}
+    assert got["None"] == 0 and got["M"] == 0
+    assert 1 <= got["a"] <= 9 and 1 <= got["b"] <= 9
+    # determinism across runs
+    again = {str(r["s"]): r["h"] for r in PipelineModel([op]).transform(df).collect()}
+    assert got == again
+
+
+def test_bloom_encode(spark):
+    df = spark.createDataFrame([("a",)], "s string")
+    op = BloomEncode(input_col="s", output_col="b", num_bins=100, num_hash_fns=3,
+                     use_offsets=True)
+    got = list(PipelineModel([op]).transform(df).first()["b"])
+    assert len(got) == 3
+    for k, v in enumerate(got):
+        assert k * 100 + 1 <= v <= k * 100 + 99
+
+
+def test_minhash_similarity_property(spark):
+    """Similar sets share more minhash components than dissimilar ones."""
+    df = spark.createDataFrame(
+        [
+            ("x", ["a", "b", "c", "d", "e", "f", "g", "h"]),
+            ("y", ["a", "b", "c", "d", "e", "f", "g", "zzz"]),
+            ("z", ["p", "q", "r", "s", "t", "u", "v", "w"]),
+        ],
+        "id string, toks array<string>",
+    )
+    op = MinHashIndex(input_col="toks", output_col="sig", num_permutations=64)
+    rows = {r["id"]: list(r["sig"]) for r in PipelineModel([op]).transform(df).collect()}
+    sim_xy = sum(a == b for a, b in zip(rows["x"], rows["y"])) / 64
+    sim_xz = sum(a == b for a, b in zip(rows["x"], rows["z"])) / 64
+    assert sim_xy > 0.5 > sim_xz
+
+
+def test_estimator_in_pipeline_with_sampling(spark):
+    from kamae_spark.operators.math import Log
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    pipe = Pipeline(
+        [
+            Log(input_col="x", output_col="lx"),
+            StandardScaleEstimator(input_col="lx", output_col="z",
+                                   sample_fraction=0.5, seed=7),
+        ]
+    )
+    model = pipe.fit(df)
+    out = model.transform(df)
+    assert out.columns[-1] == "z"
+    assert out.count() == 100
