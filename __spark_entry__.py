@@ -321,6 +321,304 @@ FROM t ASOF LEFT JOIN a ON t.conv_id = a.conv_id AND t.ts >= a.ts
 
 
 # ---------------------------------------------------------------------------
+# row-wise transformer queries (lineitem / orders)
+# ---------------------------------------------------------------------------
+
+def _q_rowwise_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.math import AbsoluteValue, Log, Multiply, Subtract, Sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    model = PipelineModel(
+        [
+            Log(input_col="l_extendedprice", output_col="log_price", alpha=1.0),
+            Sum(input_cols=["l_discount", "l_tax"], output_col="disc_plus_tax"),
+            Subtract(input_cols=["l_discount"], output_col="disc_m05", constant=0.05),
+            AbsoluteValue(input_col="disc_m05", output_col="abs_disc_m05"),
+            Multiply(input_cols=["l_extendedprice"], output_col="neg_price", constant=-1.0),
+        ]
+    )
+    out = model.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("log_price", 6).alias("log_price"),
+        F.round("disc_plus_tax", 6).alias("disc_plus_tax"),
+        F.round("abs_disc_m05", 6).alias("abs_disc_m05"),
+        F.round("neg_price", 6).alias("neg_price"),
+    )
+
+
+_ROWWISE_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(ln(1.0 + l_extendedprice), 6) AS log_price,
+       round(l_discount + l_tax, 6) AS disc_plus_tax,
+       round(abs(l_discount - 0.05), 6) AS abs_disc_m05,
+       round(l_extendedprice * -1.0, 6) AS neg_price
+FROM lineitem
+"""
+
+
+def _q_rowwise_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.conditional import Bin, StringMap
+    from kamae_spark.operators.strings import (
+        StringAffix,
+        StringCase,
+        StringConcatenate,
+        StringContains,
+        SubStringDelimAtIndex,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    model = PipelineModel(
+        [
+            StringCase(input_col="o_orderpriority", output_col="prio_up", case="upper"),
+            StringAffix(input_col="o_orderstatus", output_col="status_tag", prefix="st_", suffix="_end"),
+            StringConcatenate(input_cols=["o_orderstatus", "o_orderpriority"], output_col="cat", separator="|"),
+            StringContains(input_cols=["o_orderpriority"], output_col="is_urgent", constant="URGENT"),
+            SubStringDelimAtIndex(input_col="o_orderpriority", output_col="prio_word", delimiter="-", index=1, default_value="NA"),
+            Bin(
+                input_col="o_totalprice", output_col="price_bucket",
+                conditions=[("lt", 50000.0, "low"), ("lt", 150000.0, "mid")],
+                default_label="high",
+            ),
+            StringMap(
+                input_col="o_orderstatus", output_col="status_name",
+                mapping={"O": "open", "F": "finished", "P": "pending"},
+                default_value="unknown",
+            ),
+        ]
+    )
+    return model.transform(o).select(
+        "o_orderkey", "prio_up", "status_tag", "cat", "is_urgent",
+        "prio_word", "price_bucket", "status_name",
+    )
+
+
+_ROWWISE_STRINGS_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_up,
+       'st_' || o_orderstatus || '_end' AS status_tag,
+       o_orderstatus || '|' || o_orderpriority AS cat,
+       contains(o_orderpriority, 'URGENT') AS is_urgent,
+       coalesce(string_split(o_orderpriority, '-')[2], 'NA') AS prio_word,
+       CASE WHEN o_totalprice < 50000.0 THEN 'low'
+            WHEN o_totalprice < 150000.0 THEN 'mid'
+            ELSE 'high' END AS price_bucket,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+            WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_name
+FROM orders
+"""
+
+
+def _q_rowwise_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.datetimes import DateAdd, DateParse, DateTimeToUnixTimestamp
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "od", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    model = PipelineModel(
+        [
+            DateParse(input_col="od", output_col="o_year", date_part="Year"),
+            DateParse(input_col="od", output_col="o_month", date_part="MonthOfYear"),
+            DateParse(input_col="od", output_col="o_dow", date_part="DayOfWeek"),
+            DateAdd(input_cols=["od"], output_col="od_plus30", num_days=30),
+            DateTimeToUnixTimestamp(input_col="od", output_col="od_unix", unit="s"),
+        ]
+    )
+    return model.transform(o).select(
+        "o_orderkey", "o_year", "o_month", "o_dow", "od_plus30", "od_unix"
+    )
+
+
+_ROWWISE_DATES_SQL = """
+SELECT o_orderkey,
+       cast(year(o_orderdate) AS int) AS o_year,
+       cast(month(o_orderdate) AS int) AS o_month,
+       cast(isodow(o_orderdate) AS int) AS o_dow,
+       strftime(cast(o_orderdate AS date) + INTERVAL 30 DAY, '%Y-%m-%d') AS od_plus30,
+       cast(epoch(cast(strftime(o_orderdate, '%Y-%m-%d') AS timestamp)) AS bigint) AS od_unix
+FROM orders
+"""
+
+
+def _q_encoders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted estimators: string-index (freq desc, ties label asc; 1 OOV),
+    min-max scale, impute-mean — all oracle-expressible because the fit
+    statistics are themselves SQL aggregates."""
+    from kamae_spark.core.pipeline import Pipeline
+    from kamae_spark.operators.indexers import StringIndexEstimator
+    from kamae_spark.operators.scalers import MinMaxScaleEstimator
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pipe = Pipeline(
+        [
+            StringIndexEstimator(input_col="o_orderpriority", output_col="prio_idx"),
+            MinMaxScaleEstimator(input_col="o_totalprice", output_col="price_mm"),
+        ]
+    )
+    out = pipe.fit(o).transform(o)
+    return out.select(
+        "o_orderkey",
+        "prio_idx",
+        F.round("price_mm", 6).alias("price_mm"),
+    )
+
+
+_ENCODERS_SQL = """
+WITH vocab AS (
+  SELECT o_orderpriority AS label,
+         cast(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) AS int) AS idx
+  FROM orders GROUP BY o_orderpriority
+),
+stats AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT o.o_orderkey,
+       v.idx AS prio_idx,
+       round((o.o_totalprice - s.lo) / (s.hi - s.lo), 6) AS price_mm
+FROM orders o JOIN vocab v ON o.o_orderpriority = v.label CROSS JOIN stats s
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.data.text import Fingerprint, TokenCount
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = PipelineModel(
+        [
+            TokenCount(input_col="text", output_col="n_tokens", mode="whitespace"),
+            Fingerprint(input_col="text", output_col="fp"),
+        ]
+    )
+    return model.transform(d).select("doc_id", "n_tokens", "fp")
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE cast(length(regexp_split_to_array(trim(text), '\s+')) AS int)
+       END AS n_tokens,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.data.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d, "text", "doc_id")
+
+
+_EXACT_DEDUP_SQL = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[!-/:-@\[-`{-~]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.data.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", block_cols=("lang", "source"),
+        n=3, threshold=0.5, length_bucket=None,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT doc_id, lang, source,
+         list_distinct([substring(text, i, 3)
+                        FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS g
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(cast(length(list_intersect(a.g, b.g)) AS double)
+             / length(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+FROM grams a JOIN grams b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE cast(length(list_intersect(a.g, b.g)) AS double)
+      / length(list_distinct(list_concat(a.g, b.g))) >= 0.5
+"""
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamae_spark.data.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    return brute_force_topk(e, q, "embedding", "vec_id", k=10).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_sum([qv[i] * emb[i] FOR i IN range(1, length(qv) + 1)])
+               / (sqrt(list_sum([qv[i] * qv[i] FOR i IN range(1, length(qv) + 1)]))
+                  * sqrt(list_sum([emb[i] * emb[i] FOR i IN range(1, length(emb) + 1)]))), 6) AS score
+  FROM q, (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+  WHERE q.query_id != e.vec_id
+)
+SELECT query_id, neighbor_id, score,
+       cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS int) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-dup pairs; xxhash64-based so no cross-engine
+    oracle exists -> rows-only check (intentional)."""
+    from kamae_spark.data.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "text", "doc_id", num_perm=64, bands=16, threshold=0.3)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pandas-UDF signature; rows-only check)."""
+    from kamae_spark.data.dedup import simhash_neardup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+    return simhash_neardup_pairs(toks, "toks", "doc_id", max_hamming=10)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate by design; rows-only check)."""
+    from kamae_spark.data.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    return ivf_topk(e, q, "embedding", "vec_id", k=10, n_centroids=16, nprobe=4)
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing + Arrow feature extraction (stub decoders;
+    rows-only check)."""
+    from kamae_spark.data.multimodal import extract_features, synthesize_assets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(synthesize_assets(d, "doc_id", "text"), dim=16)
+
+
+# ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
 
@@ -367,6 +665,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_list_stats": _q_list_stats,
         "asof_join": _q_asof_join,
         "asof_join_broadcast": _q_asof_broadcast,
+        "rowwise_math": _q_rowwise_math,
+        "rowwise_strings": _q_rowwise_strings,
+        "rowwise_dates": _q_rowwise_dates,
+        "encoders": _q_encoders,
+        "text_stats": _q_text_stats,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "ivf_topk": _q_ivf_topk,
+        "multimodal_features": _q_multimodal,
     }
 
 
@@ -380,4 +690,15 @@ def oracle_sql() -> dict[str, str]:
         "w_list_stats": _LIST_STATS_SQL,
         "asof_join": _ASOF_SQL,
         "asof_join_broadcast": _ASOF_BROADCAST_SQL,
+        "rowwise_math": _ROWWISE_MATH_SQL,
+        "rowwise_strings": _ROWWISE_STRINGS_SQL,
+        "rowwise_dates": _ROWWISE_DATES_SQL,
+        "encoders": _ENCODERS_SQL,
+        "text_stats": _TEXT_STATS_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        # minhash_lsh / simhash_pairs / ivf_topk / multimodal_features are
+        # intentionally oracle-less: hash-engine-specific or approximate
+        # (driver records rows-only checks)
     }

@@ -1,0 +1,319 @@
+"""Deduplication for web-scale corpora.
+
+Five strategies, each with an explicit scale story:
+
+- exact_dedup: hash-groupBy on a normalized fingerprint. One shuffle on
+  the (short) digest; survivor = min id per group.
+- ngram_jaccard_pairs: blocked self-join + exact jaccard on character
+  n-gram sets. The blocking key bounds the candidate set; exact and
+  ANSI-SQL-expressible (oracle-checkable).
+- minhash_lsh_pairs: shingles -> minhash signature -> banded LSH ->
+  bucket self-join -> jaccard verification. The classic sub-quadratic
+  near-dup path: only signatures shuffle, candidate pairs are bounded
+  by band-bucket collisions.
+- simhash: 64-bit signature via an Arrow-vectorized pandas UDF (numpy
+  bit-unpack — the one op where per-bit Column exprs would be slower
+  than the Arrow hop); near-dups = hamming <= k within band buckets.
+- embedding_neardup_pairs: cosine >= tau among embedding vectors,
+  bucketed by random-hyperplane LSH sign bits (deterministic seed).
+
+Pair-producing APIs are FUNCTIONS (DataFrame -> DataFrame of pairs)
+rather than column transformers — dedup changes cardinality, which the
+stage contract (append columns) deliberately does not.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kamae_spark.core.stage import keyword_params
+from kamae_spark.data.text import Fingerprint
+from kamae_spark.operators.rowwise import ElementwiseTransform
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                normalize: bool = True) -> DataFrame:
+    """One surviving row id per distinct (normalized) text: the minimum
+    id. Returns (fingerprint, keep_id, n_dups). Single shuffle on the
+    md5 digest; map-side partial aggregation handles heavy duplication."""
+    key = Fingerprint.normalized(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.md5(key).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string, as an array (pure expr)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    block_cols: Sequence[str] = (), n: int = 3, threshold: float = 0.8,
+    length_bucket: int | None = 16,
+) -> DataFrame:
+    """Exact jaccard over char n-gram sets for candidate pairs sharing a
+    blocking key (given columns + optional length bucket). Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Scale: the self-join shuffles on the block key; block granularity is
+    the knob that bounds the quadratic term. For unblocked sub-quadratic
+    behavior use minhash_lsh_pairs."""
+    grams = char_ngrams(F.col(text_col), n).alias("__grams")
+    sel = df.select(F.col(id_col).alias("__id"), grams, *block_cols)
+    keys = [F.col(c) for c in block_cols]
+    if length_bucket:
+        sel = sel.withColumn("__lb", (F.size("__grams") / length_bucket).cast("int"))
+        keys.append(F.col("__lb"))
+    a = sel.alias("a")
+    b = sel.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_bucket:
+        cond = cond & (F.col("a.__lb") == F.col("b.__lb"))
+    inter = F.size(F.array_intersect(F.col("a.__grams"), F.col("b.__grams")))
+    union = F.size(F.array_union(F.col("a.__grams"), F.col("b.__grams")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH (sub-quadratic)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    n: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> exact-jaccard verify.
+
+    Shuffle profile: (1) explode to (band_id, band_hash) — rows x bands,
+    tiny payload; (2) self-join per bucket; (3) verify with the original
+    gram sets (joined back by id). Candidate volume is governed by
+    bands/rows-per-band: P(collide) = 1-(1-j^r)^b."""
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    grams = char_ngrams(F.col(text_col), n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(grams, lambda g: F.xxhash64(F.concat(p.cast("string"), F.lit("#"), g)))
+        ),
+    )
+    base = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    band = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        band.alias("x")
+        .join(band.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.__id") < F.col("y.__id")))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    gsel = df.select(F.col(id_col).alias("__gid"), char_ngrams(F.col(text_col), n).alias("__g"))
+    verified = (
+        cand.join(gsel.withColumnRenamed("__gid", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
+        .join(gsel.withColumnRenamed("__gid", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("__ga", "__gb")).cast("double")
+             / F.size(F.array_union("__ga", "__gb")).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# simhash (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+def _simhash64_py(tokens: pd.Series) -> pd.Series:
+    """64-bit simhash of token arrays. Vectorized per Arrow batch:
+    tokens are hashed with a stable 64-bit FNV-1a (pure numpy), bit
+    contributions summed, sign taken."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, t in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in t.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def _simhash64(col: Column) -> Column:
+    # pandas_udf registration parses DDL and needs an active session, so
+    # the wrapper is created lazily at expression-build time
+    return pandas_udf(_simhash64_py, "long")(col)
+
+
+class SimHash(ElementwiseTransform):
+    """64-bit simhash signature of a tokenized text column
+    (array<string> -> bigint). Arrow-vectorized pandas UDF."""
+
+    compatible_dtypes = ("string",)
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str):
+        pass
+
+    def build(self, df):
+        return {self.output_col: _simhash64(F.col(self.input_col))}
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR of two 64-bit signatures (pure expr)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, tokens_col: str, id_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on the four
+    16-bit signature quarters (any pair within hamming<=3 of a 64-bit
+    signature must agree on at least one quarter — pigeonhole)."""
+    sig = df.select(F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig"))
+    quarters = sig.select(
+        "__id", "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(q).alias("q"),
+                         F.shiftrightunsigned("__sig", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                for q in range(4)
+            ])
+        ).alias("qq"),
+    ).select("__id", "__sig", F.col("qq.q").alias("q"), F.col("qq.key").alias("key"))
+    cand = (
+        quarters.alias("x")
+        .join(quarters.alias("y"),
+              (F.col("x.q") == F.col("y.q")) & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.__id") < F.col("y.__id")))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
+                F.col("x.__sig").alias("sa"), F.col("y.__sig").alias("sb"))
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")))
+    return dot / (na * nb)
+
+
+def hyperplane_bits(vec: Column, dim: int, n_bits: int = 8, seed: int = 42) -> Column:
+    """Deterministic random-hyperplane LSH key: sign bits of dot products
+    with pseudo-random (hash-derived) hyperplanes — pure expr, no model
+    state to broadcast."""
+    def bit(b: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.pmod(F.xxhash64(F.concat_ws("_", F.lit(seed), F.lit(b), i)), F.lit(2000003))
+                        - 1000001
+                    ).cast("double"),
+                ),
+                lambda x, w: (x * w).cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
+
+    acc: Column = F.lit(0)
+    for b in range(n_bits):
+        acc = acc + bit(b)
+    return acc
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    threshold: float = 0.95, n_bits: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Cosine >= threshold pairs, candidate-limited to equal LSH sign-bit
+    buckets (high-threshold near-dups almost surely share all sign bits)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    sel = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bits(F.col(vec_col), dim, n_bits, seed).alias("__bkt"),
+    )
+    pairs = (
+        sel.alias("x")
+        .join(sel.alias("y"),
+              (F.col("x.__bkt") == F.col("y.__bkt")) & (F.col("x.__id") < F.col("y.__id")))
+        .select(
+            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
+            _cosine(F.col("x.__v"), F.col("y.__v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs
