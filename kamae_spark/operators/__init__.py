@@ -7,6 +7,7 @@ from kamae_spark.operators import (  # noqa: F401
     indexers,
     joins,
     math,
+    pandas_fn,
     scalers,
     strings,
     windows,

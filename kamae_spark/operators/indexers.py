@@ -78,6 +78,29 @@ def collect_labels(
     return [r["v"] for r in ordered.select("v").collect()]
 
 
+def index_expr(x: Column, labels: Sequence[str], mask_token: str | None,
+               num_oov_indices: int) -> Column:
+    """The vocab-lookup expression (see module docstring for layout)."""
+    start = 1 if mask_token is not None else 0
+    offset = start + num_oov_indices
+    labels = list(labels)
+    lookup = F.try_element_at(
+        F.map_from_arrays(
+            F.lit(labels), F.lit(list(range(offset, offset + len(labels))))
+        ),
+        x,
+    )
+    if num_oov_indices > 0:
+        oov = (F.pmod(F.xxhash64(x), F.lit(num_oov_indices)) + start).cast("int")
+        expr = F.coalesce(lookup, oov)
+        expr = F.when(x.isNull(), F.lit(0)).otherwise(expr)
+    else:
+        expr = lookup  # unseen/null -> null (reference raises per-row)
+    if mask_token is not None:
+        expr = F.when(x == F.lit(mask_token), F.lit(0)).otherwise(expr)
+    return expr.cast("int")
+
+
 class StringIndexTransformer(ElementwiseTransform):
     """Fitted vocab lookup (see module docstring for index layout)."""
 
@@ -91,24 +114,7 @@ class StringIndexTransformer(ElementwiseTransform):
         pass
 
     def _index_expr(self, x: Column) -> Column:
-        start = 1 if self.mask_token is not None else 0
-        offset = start + self.num_oov_indices
-        labels = list(self.labels)
-        lookup = F.try_element_at(
-            F.map_from_arrays(
-                F.lit(labels), F.lit(list(range(offset, offset + len(labels))))
-            ),
-            x,
-        )
-        if self.num_oov_indices > 0:
-            oov = (F.pmod(F.xxhash64(x), F.lit(self.num_oov_indices)) + start).cast("int")
-            expr = F.coalesce(lookup, oov)
-            expr = F.when(x.isNull(), F.lit(0)).otherwise(expr)
-        else:
-            expr = lookup  # unseen/null -> null (reference raises per-row)
-        if self.mask_token is not None:
-            expr = F.when(x == F.lit(self.mask_token), F.lit(0)).otherwise(expr)
-        return expr.cast("int")
+        return index_expr(x, self.labels, self.mask_token, self.num_oov_indices)
 
     def fn(self, x: Column) -> Column:
         return self._index_expr(x)
@@ -197,12 +203,7 @@ class OneHotTransformer(ElementwiseTransform):
         pass
 
     def fn(self, x: Column) -> Column:
-        idx_t = StringIndexTransformer(
-            input_col=self.input_col, output_col="_",
-            labels=list(self.labels), mask_token=self.mask_token,
-            num_oov_indices=self.num_oov_indices,
-        )
-        idx = idx_t._index_expr(x)
+        idx = index_expr(x, self.labels, self.mask_token, self.num_oov_indices)
         start = 1 if self.mask_token is not None else 0
         offset = start + self.num_oov_indices
         if self.drop_unseen:
@@ -214,6 +215,51 @@ class OneHotTransformer(ElementwiseTransform):
         return F.transform(
             F.sequence(F.lit(0), F.lit(n - 1)),
             lambda j: F.when(j == target, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
+
+class SharedOneHotTransformer(OneHotTransformer):
+    """Shared-vocab one-hot across N columns (reference
+    shared_one_hot_encode.py:125)."""
+
+    @keyword_params
+    def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
+                 labels: Sequence[str] = (), mask_token: str | None = None,
+                 num_oov_indices: int = 1, drop_unseen: bool = False):
+        pass
+
+    def build(self, df: DataFrame):
+        from kamae_spark.functions.arrays import elementwise
+
+        out = {}
+        for in_c, out_c in zip(self.input_cols, self.output_cols):
+            expr, _ = elementwise(df, [in_c], self.fn)
+            out[out_c] = expr
+        return out
+
+
+class SharedOneHotEncodeEstimator(Estimator):
+    """One shared vocab, one-hot per column (reference
+    estimators/shared_one_hot_encode.py:117)."""
+
+    @keyword_params
+    def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
+                 string_order_type: str = "frequencyDesc",
+                 mask_token: str | None = None, num_oov_indices: int = 1,
+                 drop_unseen: bool = False, max_num_labels: int | None = None,
+                 sample_fraction: float | None = None, seed: int = 42):
+        if len(input_cols) != len(output_cols):
+            raise ValueError("input_cols and output_cols must align")
+
+    def fit(self, df: DataFrame) -> SharedOneHotTransformer:
+        labels = collect_labels(
+            self._fit_input(df), list(self.input_cols), self.string_order_type,
+            self.mask_token, self.max_num_labels,
+        )
+        return SharedOneHotTransformer(
+            input_cols=list(self.input_cols), output_cols=list(self.output_cols),
+            labels=labels, mask_token=self.mask_token,
+            num_oov_indices=self.num_oov_indices, drop_unseen=self.drop_unseen,
         )
 
 

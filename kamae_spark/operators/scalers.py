@@ -227,24 +227,47 @@ class MinMaxScaleEstimator(Estimator):
 
 class ConditionalStandardScaleEstimator(Estimator):
     """Standard scale fitted over a filtered subset (SQL predicate),
-    optionally excluding zeros and/or log10-transforming first — a
-    Spark-first re-expression of the reference's mask-predicate scaler
-    (conditional_standard_scale.py:352-481; the reference's 'binary'
-    scaling function is not replicated)."""
+    optionally excluding zeros, log10-transforming first, or using the
+    reference's 'binary' moments — a Spark-first re-expression of the
+    mask-predicate scaler (conditional_standard_scale.py:352-481).
+
+    scaling='binary' (reference _fit_binary :398-470) treats the input
+    as a binary indicator and a relevance label: with
+    n = count(x == 1) and f = count(x == 1 AND relevance > 0),
+    mean = 1 - f/n and stddev = sqrt((f(1-f/n)^2 + (n-f)(f/n)^2)/(n-1));
+    requires ``relevance_col``."""
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
                  filter_expr: str | None = None, skip_zeros: bool = False,
-                 scaling: str = "standard",
+                 scaling: str = "standard", relevance_col: str | None = None,
                  sample_fraction: float | None = None, seed: int = 42):
-        if scaling not in ("standard", "log10"):
-            raise ValueError("scaling must be standard|log10")
+        if scaling not in ("standard", "log10", "binary"):
+            raise ValueError("scaling must be standard|log10|binary")
+        if scaling == "binary" and relevance_col is None:
+            raise ValueError("relevance_col must be set for binary scaling")
 
     def fit(self, df: DataFrame) -> "ConditionalStandardScaleTransformer":
         src = self._fit_input(df)
         if self.filter_expr:
             src = src.where(self.filter_expr)
         v = F.col(self.input_col).cast("double")
+        if self.scaling == "binary":
+            one = v == 1.0
+            rel = F.col(self.relevance_col) > 0
+            row = src.agg(
+                F.sum(F.when(one, 1).otherwise(0)).alias("n"),
+                F.sum(F.when(one & rel, 1).otherwise(0)).alias("f"),
+            ).first()
+            n, f = float(row["n"]), float(row["f"])
+            p = f / n
+            mean = 1.0 - p
+            var = (f * (1.0 - p) ** 2 + (n - f) * p**2) / (n - 1.0)
+            return ConditionalStandardScaleTransformer(
+                input_col=self.input_col, output_col=self.output_col,
+                mean=mean, stddev=max(var, 0.0) ** 0.5, scaling="standard",
+                skip_zeros=self.skip_zeros,
+            )
         if self.skip_zeros:
             v = F.when(v != 0.0, v)
         if self.scaling == "log10":

@@ -296,7 +296,7 @@ class ListAgg(Transformer):
         cols += [c.lstrip("-") for c in self.sort_by]
         return cols
 
-    def _gated_value(self, df: DataFrame, w) -> tuple[DataFrame, Column, str | None]:
+    def _gated_value(self, df: DataFrame) -> tuple[DataFrame, Column, str | None]:
         value: Column = F.col(self.input_col)
         cond = None
         tmp = None
@@ -324,7 +324,7 @@ class ListAgg(Transformer):
 
     def transform(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*self._partition_cols())
-        df, value, tmp = self._gated_value(df, w)
+        df, value, tmp = self._gated_value(df)
         if self.agg == "median":
             # exact midpoint over the sorted collected group (reference
             # list_median.py:156-183): even n -> mean of the two middles

@@ -19,7 +19,11 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CONVS = os.environ.get("KAMAE_SCALING_CONVS", "200000")
+CONVS = os.environ.get("KAMAE_SCALING_CONVS", "3000000")
+N_LO, N_HI = (int(x) for x in os.environ.get("KAMAE_SCALING_LEVELS", "8,32").split(","))
+
+
+REPEATS = int(os.environ.get("KAMAE_SCALING_REPEATS", "3"))
 
 
 def run(cpus: int) -> dict:
@@ -27,7 +31,7 @@ def run(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         KAMAE_BENCH_SYNTH_CONVS=CONVS,
-        KAMAE_BENCH_DRIVER_MEM="24g",
+        KAMAE_BENCH_DRIVER_MEM="48g",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -37,9 +41,19 @@ def run(cpus: int) -> dict:
     return json.loads(line)
 
 
+def median_run(cpus: int) -> dict:
+    """Median-of-N whole-JVM runs: local-mode walls are noisy (JIT, GC,
+    page cache); the median is the defensible number."""
+    runs = sorted(
+        (run(cpus) for _ in range(REPEATS)),
+        key=lambda r: r["queries"]["feature_pipeline_synth"],
+    )
+    return runs[len(runs) // 2]
+
+
 def main() -> None:
-    r8 = run(8)
-    r32 = run(32)
+    r8 = median_run(N_LO)
+    r32 = median_run(N_HI)
     tput8 = r8["synth_turns"] / r8["queries"]["feature_pipeline_synth"]
     tput32 = r32["synth_turns"] / r32["queries"]["feature_pipeline_synth"]
     eff = (tput32 / tput8) / 4
@@ -52,14 +66,15 @@ role-frequency + backfill + sessionization + listwise + as-of union join)
 over the deterministic synthetic transcript table
 ({r8['synth_turns']:,} turns, {CONVS} conversations, Zipf-skewed lengths),
 identical input and code at both parallelism levels, separate JVMs,
-timed on the second (warm) end-to-end pass with a noop write.
+timed on the second (warm) end-to-end pass with a noop write; median of
+{REPEATS} whole-JVM runs per level.
 
 | parallelism | wall sec | turns/sec |
 |---|---|---|
-| local[8]  (N)  | {r8['queries']['feature_pipeline_synth']:.3f} | {tput8:,.0f} |
-| local[32] (4N) | {r32['queries']['feature_pipeline_synth']:.3f} | {tput32:,.0f} |
+| local[{N_LO}]  (N)  | {r8['queries']['feature_pipeline_synth']:.3f} | {tput8:,.0f} |
+| local[{N_HI}] (4N) | {r32['queries']['feature_pipeline_synth']:.3f} | {tput32:,.0f} |
 
-**Scaling efficiency = (throughput_32 / throughput_8) / 4 = {eff:.3f}**
+**Scaling efficiency = (throughput_4N / throughput_N) / 4 = {eff:.3f}**
 (north-rule gate: >= 0.8)
 
 Raw bench JSON:

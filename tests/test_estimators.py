@@ -199,3 +199,32 @@ def test_estimator_in_pipeline_with_sampling(spark):
     out = model.transform(df)
     assert out.columns[-1] == "z"
     assert out.count() == 100
+
+
+def test_shared_one_hot(spark):
+    from kamae_spark.operators.indexers import SharedOneHotEncodeEstimator
+
+    df = spark.createDataFrame([("a", "b"), ("a", "c")], "s1 string, s2 string")
+    model = SharedOneHotEncodeEstimator(
+        input_cols=["s1", "s2"], output_cols=["o1", "o2"],
+    ).fit(df)
+    row = model.transform(df).collect()[0]
+    # shared vocab: a(2), b(1), c(1) -> [oov, a, b, c]
+    assert list(row["o1"]) == [0.0, 1.0, 0.0, 0.0]
+    assert list(row["o2"]) == [0.0, 0.0, 1.0, 0.0]
+
+
+def test_conditional_binary_scaling(spark):
+    from kamae_spark.operators.scalers import ConditionalStandardScaleEstimator
+
+    # x binary indicator; relevance > 0 for 3 of the 4 ones
+    rows = [(1.0, 1.0), (1.0, 2.0), (1.0, 0.5), (1.0, 0.0), (0.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, rel double")
+    model = ConditionalStandardScaleEstimator(
+        input_col="x", output_col="z", scaling="binary", relevance_col="rel"
+    ).fit(df)
+    n, f = 4.0, 3.0
+    p = f / n
+    assert abs(model.mean - (1 - p)) < 1e-9
+    exp_std = ((f * (1 - p) ** 2 + (n - f) * p**2) / (n - 1)) ** 0.5
+    assert abs(model.stddev - exp_std) < 1e-9

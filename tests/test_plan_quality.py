@@ -1,0 +1,107 @@
+"""Physical-plan regression guards: the scale properties we rely on must
+be visible in the executed plan, not just asserted in docstrings.
+
+These tests read `.explain` output programmatically — if a future change
+adds an extra shuffle to the flagship pipeline or breaks filter pushdown,
+they fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamae_spark.core.pipeline import PipelineModel
+from kamae_spark.operators.joins import AsOfJoin
+from kamae_spark.operators.windows import (
+    Backfill,
+    ConditionalRollingCount,
+    Lag,
+    Lead,
+    ListAgg,
+    RollingAgg,
+    Sessionize,
+)
+
+
+def _executed(df) -> str:
+    """Executed plan truncated at the cached-input boundary: the
+    InMemoryRelation embeds its own (generation) plan whose exchanges
+    are not part of the pipeline under test."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("InMemoryTableScan")
+    return plan if cut < 0 else plan[:cut]
+
+
+def test_cowindowed_stages_share_one_exchange(spark, transcripts):
+    """Six window stages on the same (conv_id | order) spec -> exactly one
+    hash Exchange on conv_id."""
+    order = ("ts", "turn_idx")
+    model = PipelineModel(
+        [
+            Lag(input_col="text", output_col="a", order_by=order),
+            Lead(input_col="text", output_col="b", order_by=order),
+            RollingAgg(input_col="turn_idx", output_col="c", agg="count", rows=5, order_by=order),
+            ConditionalRollingCount(input_col="role", output_col="d", value="user", rows=5, order_by=order),
+            Backfill(input_col="tool", output_col="e", order_by=order),
+            ListAgg(input_col="turn_idx", output_col="f", agg="count"),
+        ]
+    )
+    plan = _executed(model.transform(transcripts))
+    # 0 when the cached input is already conv_id-partitioned (exchange
+    # reuse from the cache), 1 when reading cold — never more
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_flagship_exchange_budget(spark, transcripts, annotations):
+    """Full flagship (windows + sessionize + asof union) must stay within
+    2 hash exchanges: one for the window family, one for the union fill."""
+    order = ("ts", "turn_idx")
+    model = PipelineModel(
+        [
+            Lag(input_col="text", output_col="prev_text", order_by=order),
+            RollingAgg(input_col="turn_idx", output_col="t5", agg="count", rows=5, order_by=order),
+            Backfill(input_col="tool", output_col="tool_ff", order_by=order),
+            Sessionize(ts_col="ts", output_col="sess", order_by=order),
+            AsOfJoin(on=("conv_id",), right=annotations, strategy="union"),
+        ]
+    )
+    plan = _executed(model.transform(transcripts))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_broadcast_asof_has_no_left_shuffle(spark, transcripts, annotations):
+    """Broadcast strategy: the big (left) side must not hash-shuffle."""
+    op = AsOfJoin(on=("conv_id",), right=annotations, strategy="broadcast")
+    plan = _executed(op.transform(transcripts))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_filter_pushdown_to_parquet(spark, tmp_path):
+    """Predicates on feature output reach the parquet scan."""
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    ).write.parquet(p)
+    df = spark.read.parquet(p).where(F.col("k") == 3).select("id")
+    plan = _executed(df)
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan, plan
+
+
+def test_rowwise_ops_stay_in_codegen(spark, scalar_features):
+    """A chain of row-wise ops must be a single WholeStageCodegen span
+    with no Exchange and no Python evaluation."""
+    from kamae_spark.operators.math import AbsoluteValue, Log, Sum
+    from kamae_spark.operators.strings import StringCase
+
+    model = PipelineModel(
+        [
+            Log(input_col="col1", output_col="l", alpha=1.0),
+            AbsoluteValue(input_col="col3", output_col="a"),
+            Sum(input_cols=["l", "a"], output_col="s"),
+            StringCase(input_col="col4", output_col="u", case="upper"),
+        ]
+    )
+    plan = _executed(model.transform(scalar_features))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("WholeStageCodegen") <= 2, plan
