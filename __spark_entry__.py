@@ -320,6 +320,35 @@ FROM t ASOF LEFT JOIN a ON t.conv_id = a.conv_id AND t.ts >= a.ts
 """
 
 
+def _q_list_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listwise stat with the reference's top-N gate + segment grouping
+    (list_utils.py:97-99 semantics): only the 3 earliest turns per
+    (conv, role) contribute; every row receives the stat."""
+    from kamae_spark.operators.windows import ListAgg
+
+    op = ListAgg(
+        input_col="value", output_col="top3_max", agg="max",
+        group_cols=("conv_id",), segment_col="role",
+        top_n=3, sort_by=("turn_idx",), nan_fill=-1.0,
+    )
+    t = _transcripts(spark, sf_dir)
+    return op.transform(t).select("conv_id", "turn_idx", "role", "top3_max")
+
+
+_LIST_TOPN_SQL = f"""
+WITH t AS ({_T_SQL}),
+g AS (
+  SELECT conv_id, turn_idx, role, value,
+         row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS rn
+  FROM t
+)
+SELECT conv_id, turn_idx, role,
+       coalesce(max(CASE WHEN rn <= 3 THEN value END)
+                  OVER (PARTITION BY conv_id, role), -1.0) AS top3_max
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # row-wise transformer queries (lineitem / orders)
 # ---------------------------------------------------------------------------
@@ -584,11 +613,17 @@ QUALIFY rank <= 10
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup pairs; xxhash64-based so no cross-engine
-    oracle exists -> rows-only check (intentional)."""
+    oracle exists -> rows-only check (intentional). Word-bigram shingles:
+    the synthetic docs draw from a ~40-word vocabulary, so char-gram sets
+    saturate and would match every pair; selective banding (8 rows/band)
+    keeps candidates to genuinely similar pairs."""
     from kamae_spark.data.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(d, "text", "doc_id", num_perm=64, bands=16, threshold=0.3)
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", n=2, num_perm=64, bands=8, threshold=0.6,
+        tokenizer="word",
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_backfill": _q_backfill,
         "w_sessionize": _q_sessionize,
         "w_list_stats": _q_list_stats,
+        "w_list_topn": _q_list_topn,
         "asof_join": _q_asof_join,
         "asof_join_broadcast": _q_asof_broadcast,
         "rowwise_math": _q_rowwise_math,
@@ -688,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "w_backfill": _BACKFILL_SQL,
         "w_sessionize": _SESSIONIZE_SQL,
         "w_list_stats": _LIST_STATS_SQL,
+        "w_list_topn": _LIST_TOPN_SQL,
         "asof_join": _ASOF_SQL,
         "asof_join_broadcast": _ASOF_BROADCAST_SQL,
         "rowwise_math": _ROWWISE_MATH_SQL,

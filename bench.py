@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_CONVS = int(os.environ.get("KAMAE_BENCH_SYNTH_CONVS", "60000"))
+SYNTH_CONVS = int(os.environ.get("KAMAE_BENCH_SYNTH_CONVS", "500000"))
 
 
 def _session():
@@ -112,7 +112,8 @@ def main() -> None:
     if not synth_only:
         # -- per-operator queries over the SF-dir events table -------------
         per_op = ["w_lag_lead", "w_rolling", "w_backfill", "w_sessionize",
-                  "w_list_stats", "asof_join"]
+                  "w_list_stats", "asof_join",
+                  "exact_dedup", "minhash_lsh", "ann_topk", "text_stats"]
         qmap = entrymod.queries()
         for name in per_op:
             if name not in qmap:

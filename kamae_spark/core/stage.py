@@ -112,6 +112,17 @@ class Transformer(Stage):
 
     # -- helpers for subclasses -------------------------------------------
     def _validate(self, df: DataFrame) -> None:
+        # input_dtype casts happen before the op sees the values
+        # (reference spark_operation.py:246-284), so when a cast is
+        # requested the compat check applies to the POST-cast dtype
+        cast_to = getattr(self, "input_dtype", None)
+        if cast_to:
+            if self.compatible_dtypes and cast_to not in self.compatible_dtypes:
+                raise TypeError(
+                    f"{type(self).__name__}: input_dtype {cast_to!r} not in "
+                    f"compatible dtypes {self.compatible_dtypes}"
+                )
+            return
         dt.check_compatible(
             df, self.input_columns, self.compatible_dtypes, type(self).__name__
         )

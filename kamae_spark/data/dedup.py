@@ -64,10 +64,29 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, n)))
 
 
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (pure expr). Prefer these over char
+    n-grams when the vocabulary is small relative to document length —
+    char grams saturate and every pair looks similar."""
+    words = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def shingles(col: Column, n: int, tokenizer: str) -> Column:
+    if tokenizer == "char":
+        return char_ngrams(col, n)
+    if tokenizer == "word":
+        return word_ngrams(col, n)
+    raise ValueError("tokenizer must be char|word")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str,
     block_cols: Sequence[str] = (), n: int = 3, threshold: float = 0.8,
-    length_bucket: int | None = 16,
+    length_bucket: int | None = 16, tokenizer: str = "char",
 ) -> DataFrame:
     """Exact jaccard over char n-gram sets for candidate pairs sharing a
     blocking key (given columns + optional length bucket). Returns
@@ -76,7 +95,7 @@ def ngram_jaccard_pairs(
     Scale: the self-join shuffles on the block key; block granularity is
     the knob that bounds the quadratic term. For unblocked sub-quadratic
     behavior use minhash_lsh_pairs."""
-    grams = char_ngrams(F.col(text_col), n).alias("__grams")
+    grams = shingles(F.col(text_col), n, tokenizer).alias("__grams")
     sel = df.select(F.col(id_col).alias("__id"), grams, *block_cols)
     keys = [F.col(c) for c in block_cols]
     if length_bucket:
@@ -107,9 +126,30 @@ def ngram_jaccard_pairs(
 # minhash LSH (sub-quadratic)
 # ---------------------------------------------------------------------------
 
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_perm: int = 64,
+    tokenizer: str = "char",
+) -> DataFrame:
+    """(id, minhash signature array) — computed as explode(grams) ->
+    row-wise xxhash64 (whole-stage codegen) -> num_perm-way min
+    aggregate. Higher-order-function lambdas are interpreted per element
+    in Spark, so the naive transform(transform(...)) signature is ~50x
+    slower than this shape; here the per-gram work is codegen'd and the
+    shuffle carries only docs x num_perm longs (map-side partial min)."""
+    g = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), n, tokenizer)).alias("__g"),
+    ).select("__id", F.xxhash64("__g").alias("__h"))
+    aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"_p{p}") for p in range(num_perm)]
+    return g.groupBy("__id").agg(*aggs).select(
+        "__id", F.array(*[F.col(f"_p{p}") for p in range(num_perm)]).alias("__sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    tokenizer: str = "char",
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-jaccard verify.
 
@@ -120,14 +160,7 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    grams = char_ngrams(F.col(text_col), n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(grams, lambda g: F.xxhash64(F.concat(p.cast("string"), F.lit("#"), g)))
-        ),
-    )
-    base = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    base = minhash_signatures(df, text_col, id_col, n, num_perm, tokenizer)
     band = base.select(
         "__id",
         F.explode(
@@ -157,7 +190,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    gsel = df.select(F.col(id_col).alias("__gid"), char_ngrams(F.col(text_col), n).alias("__g"))
+    gsel = df.select(F.col(id_col).alias("__gid"), shingles(F.col(text_col), n, tokenizer).alias("__g"))
     verified = (
         cand.join(gsel.withColumnRenamed("__gid", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
         .join(gsel.withColumnRenamed("__gid", "id_b").withColumnRenamed("__g", "__gb"), "id_b")

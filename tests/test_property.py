@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): randomized inputs vs independent
+oracles for the operators whose edge cases hand-written fixtures miss —
+as-of join tie/ordering behavior and sessionization gap boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kamae_spark.operators.joins import AsOfJoin
+from kamae_spark.operators.windows import Sessionize
+from kamae_spark.core.pipeline import PipelineModel
+
+
+@st.composite
+def _asof_case(draw):
+    n_left = draw(st.integers(2, 12))
+    n_right = draw(st.integers(0, 8))
+    # second-granularity ts values in a small range -> frequent exact ties
+    lts = draw(st.lists(st.integers(0, 30), min_size=n_left, max_size=n_left))
+    rts = draw(st.lists(st.integers(0, 30), min_size=n_right, max_size=n_right))
+    return sorted(lts), sorted(set(rts))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=_asof_case())
+def test_asof_union_matches_merge_asof(spark, case):
+    lts, rts = case
+    left = pd.DataFrame(
+        {"conv_id": "c", "turn_idx": range(len(lts)),
+         "ts": pd.to_datetime(lts, unit="s")}
+    )
+    right = pd.DataFrame(
+        {"conv_id": "c", "ts": pd.to_datetime(rts, unit="s"),
+         "label": [f"L{i}" for i in range(len(rts))]}
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = (
+        spark.createDataFrame(right)
+        if len(right)
+        else spark.createDataFrame([], "conv_id string, ts timestamp, label string")
+    )
+    got = (
+        AsOfJoin(on=("conv_id",), right=rdf, strategy="union")
+        .transform(ldf)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="conv_id", direction="backward",
+    ).sort_values("turn_idx").reset_index(drop=True)
+    assert got["label_asof"].fillna("∅").tolist() == exp["label"].fillna("∅").tolist()
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    gaps=st.lists(st.integers(0, 4000), min_size=1, max_size=30),
+    threshold=st.sampled_from([1, 600, 1800, 3600]),
+)
+def test_sessionize_matches_cumsum_oracle(spark, gaps, threshold):
+    ts = np.cumsum([0] + gaps)
+    pdf = pd.DataFrame(
+        {"conv_id": "c", "turn_idx": range(len(ts)),
+         "ts": pd.to_datetime(ts, unit="s")}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        PipelineModel([Sessionize(ts_col="ts", output_col="s",
+                                  gap_seconds=threshold,
+                                  order_by=("ts", "turn_idx"))])
+        .transform(df)
+        .toPandas()
+        .sort_values("turn_idx")["s"]
+        .to_numpy()
+    )
+    exp = np.concatenate([[0], np.cumsum(np.array(gaps) > threshold)])
+    np.testing.assert_array_equal(got, exp)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(st.integers(-1000, 1000), min_size=1, max_size=20),
+    y=st.integers(-50, 50).filter(lambda v: v != 0),
+)
+def test_modulo_floormod_property(spark, xs, y):
+    """Modulo must equal numpy's floormod (divisor-sign) for all sign
+    mixes (integer-valued doubles: sign semantics without float noise)."""
+    from kamae_spark.operators.math import Modulo
+
+    pdf = pd.DataFrame({"x": [float(x) for x in xs], "y": float(y)})
+    df = spark.createDataFrame(pdf)
+    got = (
+        PipelineModel([Modulo(input_cols=["x", "y"], output_col="m")])
+        .transform(df).toPandas().sort_index()
+    )
+    exp = np.mod(got["x"].to_numpy(), float(y))
+    np.testing.assert_allclose(got["m"].to_numpy(), exp, atol=1e-9)
