@@ -611,6 +611,40 @@ QUALIFY rank <= 10
 """
 
 
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs blocked on the embeddings `label`
+    column (oracle-checkable); the unblocked LSH-bucketed variant is
+    kamae_spark.data.dedup.embedding_neardup_pairs."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    from kamae_spark.data.similarity import cosine
+
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= 0.25)
+
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, length(a.v) + 1)])
+             / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, length(a.v) + 1)]))
+                * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, length(b.v) + 1)]))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, length(a.v) + 1)])
+            / (sqrt(list_sum([a.v[i] * a.v[i] FOR i IN range(1, length(a.v) + 1)]))
+               * sqrt(list_sum([b.v[i] * b.v[i] FOR i IN range(1, length(b.v) + 1)]))), 6) >= 0.25
+"""
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup pairs; xxhash64-based so no cross-engine
     oracle exists -> rows-only check (intentional). Word-bigram shingles:
@@ -709,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
+        "emb_neardup": _q_emb_neardup,
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ivf_topk": _q_ivf_topk,
@@ -735,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "emb_neardup": _EMB_NEARDUP_SQL,
         # minhash_lsh / simhash_pairs / ivf_topk / multimodal_features are
         # intentionally oracle-less: hash-engine-specific or approximate
         # (driver records rows-only checks)
