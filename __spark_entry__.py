@@ -509,6 +509,51 @@ FROM orders o JOIN vocab v ON o.o_orderpriority = v.label CROSS JOIN stats s
 """
 
 
+def _q_fitted_transcript_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kamae-style fit/transform flow end-to-end on transcripts:
+    vocab-indexed role + min-max and z-scored value. min-max output is
+    bit-exact cross-engine (min/max are copies); z is rounded to 6 (the
+    fitted moments differ only at ~1e-14 between engines and z-scores
+    do not sit on rounding-grid points)."""
+    from kamae_spark.core.pipeline import Pipeline
+    from kamae_spark.operators.indexers import StringIndexEstimator
+    from kamae_spark.operators.scalers import MinMaxScaleEstimator, StandardScaleEstimator
+
+    t = _transcripts(spark, sf_dir)
+    pipe = Pipeline(
+        [
+            StringIndexEstimator(input_col="role", output_col="role_idx"),
+            MinMaxScaleEstimator(input_col="value", output_col="value_mm"),
+            StandardScaleEstimator(input_col="value", output_col="value_z"),
+        ]
+    )
+    out = pipe.fit(t).transform(t)
+    return out.select(
+        "conv_id", "turn_idx", "role_idx", "value_mm",
+        F.round("value_z", 6).alias("value_z"),
+    )
+
+
+_FITTED_SQL = f"""
+WITH t AS ({_T_SQL}),
+vocab AS (
+  SELECT role AS label,
+         cast(row_number() OVER (ORDER BY count(*) DESC, role ASC) AS int) AS idx
+  FROM t GROUP BY role
+),
+stats AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         avg(value) AS m, stddev_pop(value) AS s
+  FROM t
+)
+SELECT t.conv_id, t.turn_idx,
+       v.idx AS role_idx,
+       (t.value - st.lo) / (st.hi - st.lo) AS value_mm,
+       round((t.value - st.m) / st.s, 6) AS value_z
+FROM t JOIN vocab v ON t.role = v.label CROSS JOIN stats st
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -739,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowwise_strings": _q_rowwise_strings,
         "rowwise_dates": _q_rowwise_dates,
         "encoders": _q_encoders,
+        "fitted_transcript_features": _q_fitted_transcript_features,
         "text_stats": _q_text_stats,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -766,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
         "rowwise_strings": _ROWWISE_STRINGS_SQL,
         "rowwise_dates": _ROWWISE_DATES_SQL,
         "encoders": _ENCODERS_SQL,
+        "fitted_transcript_features": _FITTED_SQL,
         "text_stats": _TEXT_STATS_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
