@@ -173,8 +173,21 @@ class PipelineModel(Stage):
         super().__init__()
         self.stages = stages
 
-    def transform(self, df: DataFrame) -> DataFrame:
-        return _fused_transform(df, _toposort(list(self.stages)))  # type: ignore[arg-type]
+    def transform(self, df: DataFrame, outputs: list[str] | None = None) -> DataFrame:
+        """Apply all stages; with ``outputs``, dead-stage-eliminate first:
+        only stages whose outputs (transitively) feed a requested column
+        run (engine-level rule mirroring fit-time estimator-ancestor
+        pruning — Catalyst's column pruning cannot remove stages that
+        were never needed when later stages shuffle)."""
+        stages = _toposort(list(self.stages))
+        if outputs is not None:
+            targets = [
+                i for i, s in enumerate(stages)
+                if any(c in outputs for c in s.output_columns)
+            ]
+            keep = set(targets) | _ancestor_indices(stages, targets)
+            stages = [s for i, s in enumerate(stages) if i in keep]
+        return _fused_transform(df, stages)  # type: ignore[arg-type]
 
     def save(self, path: str) -> None:
         _save_spec(

@@ -69,6 +69,12 @@ class IfStatement(ElementwiseTransform):
         return F.when(_OPS[self.condition_operator](cols[0], b), t).otherwise(f)
 
 
+class NumericalIfStatement(IfStatement):
+    """Name-parity alias: the reference ships a numeric-only variant
+    (numerical_if_statement.py:330) whose Spark semantics are identical
+    to IfStatement; both map to the same implementation here."""
+
+
 class Bin(ElementwiseTransform):
     """Numeric -> string label via ordered (op, value, label) conditions
     with a default label; first matching condition wins (reference

@@ -114,3 +114,24 @@ def test_nested_pipeline_flattening(spark):
     inner = Pipeline([AddOne(input_col="x", output_col="a")])
     outer = Pipeline([inner, AddOne(input_col="a", output_col="b")])
     assert len(outer.stages) == 2
+
+
+def test_transform_output_pruning(spark):
+    df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+    calls = []
+
+    class Tracking(AddOne):
+        def build(self, d):
+            calls.append(self.output_col)
+            return super().build(d)
+
+    model = PipelineModel(
+        [
+            Tracking(input_col="x", output_col="a"),
+            Tracking(input_col="a", output_col="b"),
+            Tracking(input_col="x", output_col="unrelated"),
+        ]
+    )
+    out = model.transform(df, outputs=["b"])
+    assert "b" in out.columns and "unrelated" not in out.columns
+    assert calls == ["a", "b"]  # unrelated stage never built
