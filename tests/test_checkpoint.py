@@ -78,3 +78,26 @@ def test_bucket_pruning_in_plan(spark, transcripts, tmp_path):
     out = w.read(spark)
     plan = out.where(F.col("conv_id") == "conv_1")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_repartition_salted_balances_hot_keys(spark):
+    """A pathologically hot key must spread across partitions after
+    salted repartitioning (associative downstream work only)."""
+    from pyspark.sql import functions as F
+
+    from kamae_spark.sources.io import repartition_salted
+
+    hot = spark.range(10000).select(F.lit("hot_conv").alias("conv_id"), "id")
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"), "id"
+    )
+    df = hot.unionByName(cold)
+    out = repartition_salted(df, "conv_id", 8, salt=8)
+    sizes = [
+        r["n"]
+        for r in out.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) < 11000 * 0.5  # hot key no longer on one partition
