@@ -724,12 +724,737 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing + Arrow feature extraction (stub decoders;
-    rows-only check)."""
+    """Binary-column plumbing + Arrow feature extraction (stub decoders).
+
+    The mapInPandas output carries an ``array<float>`` feature column
+    the driver's rows-only canonicalizer cannot hash, so the query
+    projects integer-exact derivations: the byte histogram recovered
+    from the L2-normalized feature (feature_i * n_bytes / sum(feature)
+    == hist_i exactly, up to float32 noise << 0.5), its argmax, and its
+    nonzero count — all reproducible from the raw text bytes in ANSI
+    SQL, upgrading this query from rows-only to fully oracled."""
     from kamae_spark.data.multimodal import extract_features, synthesize_assets
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(synthesize_assets(d, "doc_id", "text"), dim=16)
+    feats = extract_features(synthesize_assets(d, "doc_id", "text"), dim=16)
+    fsum = F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    hist = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * F.col("n_bytes") / fsum).cast("int"),
+    )
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.when(F.col("n_bytes") > 0, F.to_json(hist)).otherwise(F.lit("[]")).alias("hist_json"),
+        F.array_position("feature", F.array_max("feature")).cast("int").alias("argmax_bucket"),
+        F.size(F.filter("feature", lambda x: x != 0.0)).cast("int").alias("n_nonzero"),
+    )
+
+
+_MULTIMODAL_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         [len(list_filter([unicode(text[i]) % 16 FOR i IN range(1, len(text) + 1)],
+                          x -> x = b))
+          FOR b IN range(0, 16)] AS hist,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       cast(nb AS int) AS n_bytes,
+       CASE WHEN nb > 0 THEN to_json(hist) ELSE '[]' END AS hist_json,
+       cast(list_position(hist, list_aggregate(hist, 'max')) AS int) AS argmax_bucket,
+       cast(len(list_filter(hist, x -> x > 0)) AS int) AS n_nonzero
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# wide-coverage row-wise queries (round 2: every SURVEY §2 operator oracled)
+# ---------------------------------------------------------------------------
+
+def _q_rowwise_math2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exp/Exponent/Divide/Mean/Max/Min/Modulo/Round modes/RoundToDecimal/
+    logical ops/Identity/NumericalIfStatement/Bucketize over lineitem."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.conditional import Bucketize, Identity, NumericalIfStatement
+    from kamae_spark.operators.math import (
+        Divide, Exp, Exponent, Log, LogicalAnd, LogicalNot, LogicalOr,
+        Max, Mean, Min, Modulo, Round, RoundToDecimal,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    model = PipelineModel(
+        [
+            Identity(input_col="l_quantity", output_col="qty_id"),
+            Exp(input_col="l_discount", output_col="e_disc"),
+            Exponent(input_cols=["l_discount"], output_col="disc_sq", constant=2.0),
+            Divide(input_cols=["l_extendedprice", "l_quantity"], output_col="unit_price"),
+            Mean(input_cols=["l_discount", "l_tax"], output_col="dt_mean"),
+            Max(input_cols=["l_discount", "l_tax"], output_col="dt_max"),
+            Min(input_cols=["l_discount", "l_tax"], output_col="dt_min"),
+            Modulo(input_cols=["l_linenumber"], output_col="ln_mod", constant=-3.0),
+            Round(input_col="l_extendedprice", output_col="price_floor", mode="floor"),
+            Round(input_col="l_extendedprice", output_col="price_ceil", mode="ceil"),
+            Log(input_col="l_extendedprice", output_col="__lp", alpha=1.0),
+            RoundToDecimal(input_col="__lp", output_col="lp_r3", scale=3),
+            NumericalIfStatement(
+                input_cols=["l_discount"], output_col="hi_disc",
+                condition_operator="gt", value_to_compare_constant=0.05,
+                result_if_true_constant=True, result_if_false_constant=False,
+            ),
+            NumericalIfStatement(
+                input_cols=["l_tax"], output_col="hi_tax",
+                condition_operator="gt", value_to_compare_constant=0.04,
+                result_if_true_constant=True, result_if_false_constant=False,
+            ),
+            LogicalAnd(input_cols=["hi_disc", "hi_tax"], output_col="both_hi"),
+            LogicalOr(input_cols=["hi_disc", "hi_tax"], output_col="any_hi"),
+            LogicalNot(input_col="hi_disc", output_col="not_hi"),
+            Bucketize(input_col="l_quantity", output_col="qty_bucket",
+                      splits=[10.0, 20.0, 30.0, 40.0]),
+        ]
+    )
+    out = model.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", "qty_id",
+        F.round("e_disc", 6).alias("e_disc"),
+        F.round("disc_sq", 6).alias("disc_sq"),
+        "unit_price", "dt_mean", "dt_max", "dt_min",
+        # +0.0 normalizes the IEEE -0.0 that floormod yields at exact
+        # multiples of a negative divisor (hash-exactness across engines)
+        (F.col("ln_mod") + F.lit(0.0)).alias("ln_mod"),
+        "price_floor", "price_ceil", "lp_r3",
+        "hi_disc", "both_hi", "any_hi", "not_hi", "qty_bucket",
+    )
+
+
+_ROWWISE_MATH2_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS qty_id,
+       round(exp(l_discount), 6) AS e_disc,
+       round(power(l_discount, 2.0), 6) AS disc_sq,
+       l_extendedprice / l_quantity AS unit_price,
+       (l_discount + l_tax) / 2.0 AS dt_mean,
+       greatest(l_discount, l_tax) AS dt_max,
+       least(l_discount, l_tax) AS dt_min,
+       (((l_linenumber % CAST(-3.0 AS DOUBLE)) + CAST(-3.0 AS DOUBLE))
+          % CAST(-3.0 AS DOUBLE)) + 0.0 AS ln_mod,
+       floor(l_extendedprice) AS price_floor,
+       ceil(l_extendedprice) AS price_ceil,
+       round(ln(1.0 + l_extendedprice), 3) AS lp_r3,
+       l_discount > 0.05 AS hi_disc,
+       (l_discount > 0.05) AND (l_tax > 0.04) AS both_hi,
+       (l_discount > 0.05) OR (l_tax > 0.04) AS any_hi,
+       NOT (l_discount > 0.05) AS not_hi,
+       CASE WHEN l_quantity < 10.0 THEN 1 WHEN l_quantity < 20.0 THEN 2
+            WHEN l_quantity < 30.0 THEN 3 WHEN l_quantity < 40.0 THEN 4
+            ELSE 5 END AS qty_bucket
+FROM lineitem
+"""
+
+
+def _q_geo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HaversineDistance + BearingAngle vs a constant point, incl. the
+    out-of-range-coordinate -> null rule."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.math import BearingAngle, HaversineDistance
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = o.select(
+        "o_orderkey",
+        ((F.col("o_totalprice") % 180.0) - 90.0).alias("lat1"),
+        ((F.col("o_custkey") % 360).cast("double") - 180.0).alias("lon1"),
+        ((F.col("o_totalprice") % 200.0) - 100.0).alias("lat_maybe"),
+    )
+    model = PipelineModel(
+        [
+            HaversineDistance(input_cols=["lat1", "lon1"], output_col="hav_km",
+                              lat_lon_constant=[40.7, -74.0]),
+            BearingAngle(input_cols=["lat1", "lon1"], output_col="bearing",
+                         lat_lon_constant=[40.7, -74.0]),
+            HaversineDistance(input_cols=["lat_maybe", "lon1"], output_col="hav_guard",
+                              lat_lon_constant=[40.7, -74.0]),
+        ]
+    )
+    out = model.transform(d)
+    return out.select(
+        "o_orderkey",
+        F.round("hav_km", 4).alias("hav_km"),
+        F.round("bearing", 4).alias("bearing"),
+        F.round("hav_guard", 4).alias("hav_guard"),
+    )
+
+
+_GEO_SQL = """
+WITH g AS (
+  SELECT o_orderkey,
+         (o_totalprice % 180.0) - 90.0 AS lat1,
+         cast(o_custkey % 360 AS double) - 180.0 AS lon1,
+         (o_totalprice % 200.0) - 100.0 AS lat_maybe
+  FROM orders
+), r AS (
+  SELECT o_orderkey,
+         lat1 * (pi() / 180.0) AS la1, lon1 * (pi() / 180.0) AS lo1,
+         40.7 * (pi() / 180.0) AS la2, -74.0 * (pi() / 180.0) AS lo2,
+         CASE WHEN lat_maybe BETWEEN -90.0 AND 90.0
+              THEN lat_maybe * (pi() / 180.0) END AS lam
+  FROM g
+)
+SELECT o_orderkey,
+  round(12742.0 * asin(sqrt(power(sin((la2 - la1) / 2), 2)
+        + cos(la1) * cos(la2) * power(sin((lo2 - lo1) / 2), 2))), 4) AS hav_km,
+  round(((atan2(sin(lo2 - lo1) * cos(la2),
+                cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(lo2 - lo1))
+          * 180.0 / pi()) + 360.0) % 360.0, 4) AS bearing,
+  round(12742.0 * asin(sqrt(power(sin((la2 - lam) / 2), 2)
+        + cos(lam) * cos(la2) * power(sin((lo2 - lo1) / 2), 2))), 4) AS hav_guard
+FROM r
+"""
+
+
+def _q_rowwise_strings2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringReplace (regex + literal), StringToStringList->StringListToString,
+    StringIsInList, StringContainsList, negative-index SubStringDelimAtIndex,
+    StringArrayConstant, StringSequenceToEmbedding (incl. reverse)."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.strings import (
+        StringArrayConstant, StringContainsList, StringIsInList,
+        StringListToString, StringReplace, StringSequenceToEmbedding,
+        StringToStringList, SubStringDelimAtIndex,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.concat(
+            (F.col("o_orderkey") % 7).cast("int").cast("string"), F.lit(","),
+            (F.col("o_custkey") % 5).cast("int").cast("string"), F.lit(";"),
+            (F.col("o_orderkey") % 3).cast("int").cast("string"),
+        ).alias("seq_str"),
+    )
+    model = PipelineModel(
+        [
+            StringReplace(input_cols=["o_orderpriority"], output_col="pr_nonum",
+                          pattern_constant="[0-9]", replacement_constant="#"),
+            StringReplace(input_cols=["o_orderpriority"], output_col="pr_us",
+                          pattern_constant="-", replacement_constant="_", regex=False),
+            StringToStringList(input_col="o_orderpriority", output_col="__parts",
+                               separator="-", list_length=3, default_value="NA"),
+            StringListToString(input_col="__parts", output_col="parts3", separator="|"),
+            StringIsInList(input_col="o_orderstatus", output_col="in_of",
+                           constants=["O", "F"]),
+            StringContainsList(input_col="o_orderpriority", output_col="is_prio",
+                               constants=["URGENT", "HIGH"]),
+            SubStringDelimAtIndex(input_col="o_orderpriority", output_col="last_word",
+                                  delimiter="-", index=-1, default_value="NA"),
+            StringArrayConstant(output_col="__const_arr", values=["x", "y", "z"]),
+            StringListToString(input_col="__const_arr", output_col="const_str", separator=","),
+            StringSequenceToEmbedding(input_col="seq_str", output_col="__emb",
+                                      seq_len=2, embedding_dim=2,
+                                      separator=",", sequence_separator=";"),
+            StringSequenceToEmbedding(input_col="seq_str", output_col="__embr",
+                                      seq_len=2, embedding_dim=2,
+                                      separator=",", sequence_separator=";", reverse=True),
+        ]
+    )
+    out = model.transform(d)
+    e = lambda c, i, j: F.try_element_at(F.try_element_at(c, F.lit(i)), F.lit(j)).cast("double")  # noqa: E731
+    return out.select(
+        "o_orderkey", "pr_nonum", "pr_us", "parts3", "in_of", "is_prio",
+        "last_word", "const_str",
+        e("__emb", 1, 1).alias("e00"), e("__emb", 1, 2).alias("e01"),
+        e("__emb", 2, 1).alias("e10"), e("__emb", 2, 2).alias("e11"),
+        e("__embr", 1, 1).alias("r00"), e("__embr", 1, 2).alias("r01"),
+    )
+
+
+_ROWWISE_STRINGS2_SQL = """
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         cast(o_orderkey % 7 AS int) AS k1,
+         cast(o_custkey % 5 AS int) AS k2,
+         cast(o_orderkey % 3 AS int) AS k3
+  FROM orders
+)
+SELECT o_orderkey,
+       regexp_replace(o_orderpriority, '[0-9]', '#', 'g') AS pr_nonum,
+       replace(o_orderpriority, '-', '_') AS pr_us,
+       coalesce(string_split(o_orderpriority, '-')[1], 'NA') || '|'
+         || coalesce(string_split(o_orderpriority, '-')[2], 'NA') || '|'
+         || coalesce(string_split(o_orderpriority, '-')[3], 'NA') AS parts3,
+       o_orderstatus IN ('O', 'F') AS in_of,
+       (contains(o_orderpriority, 'URGENT') OR contains(o_orderpriority, 'HIGH')) AS is_prio,
+       string_split(o_orderpriority, '-')[-1] AS last_word,
+       'x,y,z' AS const_str,
+       cast(k1 AS double) AS e00, cast(k2 AS double) AS e01,
+       cast(k3 AS double) AS e10, 0.0 AS e11,
+       cast(k3 AS double) AS r00, 0.0 AS r01
+FROM d
+"""
+
+
+def _q_rowwise_dates2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateParse extra parts, DateDiff, Current* (injected now),
+    UnixTimestampToDateTime s/ms paths."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.datetimes import (
+        CurrentDate, CurrentDateTime, CurrentUnixTimestamp, DateDiff,
+        DateParse, UnixTimestampToDateTime,
+    )
+
+    NOW = "2026-08-16 12:34:56"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dts"),
+        F.col("ts").cast("timestamp").cast("long").alias("unix_s"),
+        F.lit("2024-06-15").alias("ref_date"),
+    ).withColumn("unix_ms", F.col("unix_s") * 1000 + F.col("event_id") % 1000)
+    model = PipelineModel(
+        [
+            DateParse(input_col="dts", output_col="doy", date_part="DayOfYear"),
+            DateParse(input_col="dts", output_col="dom", date_part="DayOfMonth"),
+            DateParse(input_col="dts", output_col="hh", date_part="Hour"),
+            DateParse(input_col="dts", output_col="mi", date_part="Minute"),
+            DateParse(input_col="dts", output_col="ss", date_part="Second"),
+            DateDiff(input_cols=["dts", "ref_date"], output_col="days_to_ref"),
+            CurrentDate(output_col="today", now=NOW),
+            CurrentDateTime(output_col="now_str", now=NOW),
+            CurrentUnixTimestamp(output_col="now_ms", unit="ms", now=NOW),
+            UnixTimestampToDateTime(input_col="unix_s", output_col="dt_s", unit="s"),
+            UnixTimestampToDateTime(input_col="unix_ms", output_col="dt_ms",
+                                    unit="ms", include_millis=True),
+        ]
+    )
+    return model.transform(d).select(
+        "event_id", "doy", "dom", "hh", "mi", "ss", "days_to_ref",
+        "today", "now_str", "now_ms", "dt_s", "dt_ms",
+    )
+
+
+_ROWWISE_DATES2_SQL = """
+SELECT event_id,
+       cast(strftime(ts, '%j') AS int) AS doy,
+       cast(dayofmonth(ts) AS int) AS dom,
+       cast(hour(ts) AS int) AS hh,
+       cast(minute(ts) AS int) AS mi,
+       cast(second(ts) AS int) AS ss,
+       cast(datediff('day', cast(ts AS date), DATE '2024-06-15') AS int) AS days_to_ref,
+       '2026-08-16' AS today,
+       '2026-08-16 12:34:56.000' AS now_str,
+       cast(epoch(TIMESTAMP '2026-08-16 12:34:56') AS bigint) * 1000 AS now_ms,
+       strftime(make_timestamp(cast(floor(epoch(ts)) AS bigint) * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS dt_s,
+       strftime(make_timestamp(cast(floor(epoch(ts)) AS bigint) * 1000000),
+                '%Y-%m-%d %H:%M:%S')
+         || '.' || lpad(cast(event_id % 1000 AS varchar), 3, '0') AS dt_ms
+FROM events
+"""
+
+
+def _q_arrays_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayConcatenate/Split/Crop/ReduceMax/ReduceMin/SubtractMinimum,
+    CosineSimilarity, PairwiseCosineSimilarity, OrdinalArrayEncode."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.arrays import (
+        ArrayConcatenate, ArrayCrop, ArrayReduceMax, ArrayReduceMin,
+        ArraySplit, ArraySubtractMinimum, CosineSimilarity,
+        OrdinalArrayEncode, PairwiseCosineSimilarity,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    model = PipelineModel(
+        [
+            ArrayConcatenate(input_cols=["l_quantity", "l_discount", "l_tax"],
+                             output_col="vec"),
+            ArrayConcatenate(input_cols=["l_tax", "l_discount", "l_quantity"],
+                             output_col="vec2"),
+            ArrayConcatenate(input_cols=["l_extendedprice", "vec"], output_col="vec4"),
+            ArraySplit(input_col="vec", output_cols=["q2", "d2", "t2"]),
+            ArrayCrop(input_col="vec", output_col="vec5", length=5, pad_value=-1.0),
+            ArrayReduceMax(input_col="vec", output_col="vmax"),
+            ArrayReduceMin(input_col="vec", output_col="vmin"),
+            ArraySubtractMinimum(input_col="vec", output_col="__vsub"),
+            ArrayReduceMax(input_col="__vsub", output_col="vspread"),
+            CosineSimilarity(input_cols=["vec", "vec2"], output_col="cos12"),
+            ArrayConcatenate(input_cols=["vec", "vec2"], output_col="__flat6"),
+            PairwiseCosineSimilarity(input_cols=["vec", "__flat6"],
+                                     output_col="__pc", embedding_dim=3),
+            ArrayConcatenate(input_cols=["l_returnflag", "l_linestatus", "l_returnflag"],
+                             output_col="__strs"),
+            OrdinalArrayEncode(input_col="__strs", output_col="__ord"),
+        ]
+    )
+    out = model.transform(li)
+    return out.select(
+        "l_orderkey", "l_linenumber", "q2", "d2", "t2",
+        F.try_element_at("vec5", F.lit(4)).alias("c4"),
+        F.try_element_at("vec5", F.lit(1)).alias("c1"),
+        F.try_element_at("vec4", F.lit(1)).alias("v4_1"),
+        "vmax", "vmin", "vspread",
+        F.round("cos12", 6).alias("cos12"),
+        F.round(F.try_element_at("__pc", F.lit(1)), 6).alias("p1"),
+        F.round(F.try_element_at("__pc", F.lit(2)), 6).alias("p2"),
+        F.try_element_at("__ord", F.lit(1)).alias("o1"),
+        F.try_element_at("__ord", F.lit(2)).alias("o2"),
+        F.try_element_at("__ord", F.lit(3)).alias("o3"),
+    )
+
+
+_ARRAYS_OPS_SQL = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity AS q, l_discount AS d, l_tax AS t, l_extendedprice AS p,
+         l_returnflag AS rf, l_linestatus AS ls,
+         0.0 + l_quantity * l_quantity + l_discount * l_discount
+             + l_tax * l_tax AS n1,
+         0.0 + l_tax * l_tax + l_discount * l_discount
+             + l_quantity * l_quantity AS n2,
+         0.0 + l_quantity * l_tax + l_discount * l_discount
+             + l_tax * l_quantity AS dot12
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       q AS q2, d AS d2, t AS t2,
+       -1.0 AS c4, q AS c1, p AS v4_1,
+       greatest(q, d, t) AS vmax,
+       least(q, d, t) AS vmin,
+       greatest(q, d, t) - least(q, d, t) AS vspread,
+       round(dot12 / (sqrt(n1) * sqrt(n2)), 6) AS cos12,
+       round(n1 / (sqrt(n1) * sqrt(n1)), 6) AS p1,
+       round(dot12 / (sqrt(n1) * sqrt(n2)), 6) AS p2,
+       cast(0 AS int) AS o1,
+       cast(CASE WHEN ls = rf THEN 0 ELSE 1 END AS int) AS o2,
+       cast(0 AS int) AS o3
+FROM b
+"""
+
+
+def _q_encoders2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharedStringIndex, OneHotEncode, Impute mean+median, Conditional
+    scalers (filter / log10 / binary), SingleFeatureArray scale."""
+    from kamae_spark.core.pipeline import Pipeline
+    from kamae_spark.operators.indexers import (
+        OneHotEncodeEstimator, SharedStringIndexEstimator,
+    )
+    from kamae_spark.operators.scalers import (
+        ConditionalStandardScaleEstimator, ImputeEstimator,
+        SingleFeatureArrayStandardScaleEstimator,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 != 0, F.col("o_totalprice")).alias("v_null"),
+        F.when(F.col("o_totalprice") > 150000.0, 1.0).otherwise(0.0).alias("bin_ind"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("rel"),
+        F.array(F.col("o_totalprice"), (F.col("o_custkey") % 100).cast("double")).alias("varr"),
+    )
+    pipe = Pipeline(
+        [
+            SharedStringIndexEstimator(input_cols=["o_orderstatus", "o_orderpriority"],
+                                       output_cols=["st_idx", "pr_idx"]),
+            OneHotEncodeEstimator(input_col="o_orderstatus", output_col="__oh"),
+            ImputeEstimator(input_col="v_null", output_col="v_med", strategy="median"),
+            ImputeEstimator(input_col="v_null", output_col="v_mean", strategy="mean"),
+            ConditionalStandardScaleEstimator(input_col="o_totalprice", output_col="z_f",
+                                              filter_expr="o_orderstatus = 'F'"),
+            ConditionalStandardScaleEstimator(input_col="o_totalprice", output_col="z_log",
+                                              scaling="log10"),
+            ConditionalStandardScaleEstimator(input_col="bin_ind", output_col="z_bin",
+                                              scaling="binary", relevance_col="rel"),
+            SingleFeatureArrayStandardScaleEstimator(input_col="varr", output_col="__sfa"),
+        ]
+    )
+    out = pipe.fit(d).transform(d)
+    return out.select(
+        "o_orderkey", "st_idx", "pr_idx",
+        F.try_element_at("__oh", F.lit(1)).alias("oh1"),
+        F.try_element_at("__oh", F.lit(2)).alias("oh2"),
+        F.try_element_at("__oh", F.lit(3)).alias("oh3"),
+        F.try_element_at("__oh", F.lit(4)).alias("oh4"),
+        "v_med",
+        F.round("v_mean", 2).alias("v_mean"),
+        F.round("z_f", 6).alias("z_f"),
+        F.round("z_log", 6).alias("z_log"),
+        F.round("z_bin", 6).alias("z_bin"),
+        F.round(F.try_element_at("__sfa", F.lit(1)), 6).alias("sfa1"),
+    )
+
+
+_ENCODERS2_SQL = """
+WITH d AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+         CASE WHEN o_orderkey % 11 != 0 THEN o_totalprice END AS v_null,
+         CASE WHEN o_totalprice > 150000.0 THEN 1.0 ELSE 0.0 END AS bin_ind,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS rel,
+         o_totalprice AS a1, cast(o_custkey % 100 AS double) AS a2
+  FROM orders
+),
+shared_vocab AS (
+  SELECT v, cast(row_number() OVER (ORDER BY cnt DESC, v ASC) AS int) AS idx
+  FROM (SELECT v, count(*) AS cnt FROM (
+          SELECT o_orderstatus AS v FROM orders
+          UNION ALL SELECT o_orderpriority FROM orders) GROUP BY v)
+),
+st_vocab AS (
+  SELECT o_orderstatus AS v,
+         cast(row_number() OVER (ORDER BY count(*) DESC, o_orderstatus ASC) AS int) AS idx
+  FROM orders GROUP BY o_orderstatus
+),
+imp AS (
+  SELECT median(v_null) AS med, avg(v_null) AS mn FROM d
+),
+fstats AS (
+  SELECT avg(o_totalprice) AS m, stddev_pop(o_totalprice) AS s
+  FROM d WHERE o_orderstatus = 'F'
+),
+lstats AS (
+  SELECT avg(log10(o_totalprice)) AS m, stddev_pop(log10(o_totalprice)) AS s FROM d
+),
+bstats AS (
+  SELECT cast(sum(CASE WHEN bin_ind = 1.0 THEN 1 ELSE 0 END) AS double) AS n,
+         cast(sum(CASE WHEN bin_ind = 1.0 AND rel > 0 THEN 1 ELSE 0 END) AS double) AS f
+  FROM d
+),
+astats AS (
+  SELECT sum(0.0 + a1 + a2) AS s1, sum(0.0 + a1 * a1 + a2 * a2) AS s2,
+         cast(count(*) AS double) * 2.0 AS n
+  FROM d
+)
+SELECT d.o_orderkey,
+       sv1.idx AS st_idx, sv2.idx AS pr_idx,
+       0.0 AS oh1,
+       CASE WHEN stv.idx = 1 THEN 1.0 ELSE 0.0 END AS oh2,
+       CASE WHEN stv.idx = 2 THEN 1.0 ELSE 0.0 END AS oh3,
+       CASE WHEN stv.idx = 3 THEN 1.0 ELSE 0.0 END AS oh4,
+       coalesce(d.v_null, imp.med) AS v_med,
+       round(coalesce(d.v_null, imp.mn), 2) AS v_mean,
+       round((d.o_totalprice - fstats.m) / fstats.s, 6) AS z_f,
+       round((log10(d.o_totalprice) - lstats.m) / lstats.s, 6) AS z_log,
+       round((d.bin_ind - (1.0 - bstats.f / bstats.n))
+             / sqrt((bstats.f * power(1.0 - bstats.f / bstats.n, 2)
+                     + (bstats.n - bstats.f) * power(bstats.f / bstats.n, 2))
+                    / (bstats.n - 1.0)), 6) AS z_bin,
+       round((d.a1 - astats.s1 / astats.n)
+             / sqrt(astats.s2 / astats.n
+                    - power(astats.s1 / astats.n, 2)), 6) AS sfa1
+FROM d
+JOIN shared_vocab sv1 ON d.o_orderstatus = sv1.v
+JOIN shared_vocab sv2 ON d.o_orderpriority = sv2.v
+JOIN st_vocab stv ON d.o_orderstatus = stv.v
+CROSS JOIN imp CROSS JOIN fstats CROSS JOIN lstats CROSS JOIN bstats CROSS JOIN astats
+"""
+
+
+def _q_hash_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-family layout properties (bucket values are xxhash64-specific
+    so not cross-engine reproducible, but the LAYOUT contract is: 0
+    reserved for null/mask, buckets in [1, bins), per-hash offset ranges,
+    minhash signature length / permutation-invariance / superset
+    dominance — each checked per row and oracled as its expected class)."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.hashing import BloomEncode, HashIndex, MinHashIndex
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    toks = F.split(
+        F.concat((F.col("o_custkey") % 97).cast("string"), F.lit("-"),
+                 F.col("o_orderpriority")),
+        "-",
+    )
+    d = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("MASK"))
+        .otherwise(F.col("o_custkey").cast("string")).alias("clerk"),
+        toks.alias("toks"),
+        F.concat(F.reverse(toks), F.slice(toks, 1, 1)).alias("toks_perm"),
+        F.concat(toks, F.array(F.lit("zzz_extra"))).alias("toks_sup"),
+    )
+    model = PipelineModel(
+        [
+            HashIndex(input_col="clerk", output_col="__h", num_bins=50,
+                      mask_value="MASK"),
+            BloomEncode(input_col="clerk", output_col="__b", num_bins=50,
+                        num_hash_fns=3, use_offsets=True, mask_value="MASK"),
+            MinHashIndex(input_col="toks", output_col="__sig", num_permutations=8),
+            MinHashIndex(input_col="toks_perm", output_col="__sig2", num_permutations=8),
+            MinHashIndex(input_col="toks_sup", output_col="__sig3", num_permutations=8),
+        ]
+    )
+    out = model.transform(d)
+
+    def hclass(c, lo: int, hi: int):
+        return (
+            F.when(c == lo, F.lit("reserved"))
+            .when(c.between(lo + 1, hi), F.lit("hashed"))
+            .otherwise(F.lit("invalid"))
+        )
+
+    dom = F.aggregate(
+        F.zip_with("__sig3", "__sig", lambda a, b: (a <= b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    return out.select(
+        "o_orderkey",
+        hclass(F.col("__h"), 0, 49).alias("h_class"),
+        hclass(F.try_element_at("__b", F.lit(1)), 0, 49).alias("b0_class"),
+        hclass(F.try_element_at("__b", F.lit(2)), 50, 99).alias("b1_class"),
+        hclass(F.try_element_at("__b", F.lit(3)), 100, 149).alias("b2_class"),
+        F.size("__sig").alias("mh_len"),
+        (F.col("__sig") == F.col("__sig2")).alias("mh_perm_inv"),
+        (dom == 8).alias("mh_superset_dom"),
+    )
+
+
+_HASH_LAYOUT_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+            THEN 'reserved' ELSE 'hashed' END AS h_class,
+       CASE WHEN o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+            THEN 'reserved' ELSE 'hashed' END AS b0_class,
+       CASE WHEN o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+            THEN 'reserved' ELSE 'hashed' END AS b1_class,
+       CASE WHEN o_orderkey % 13 = 0 OR o_orderkey % 7 = 0
+            THEN 'reserved' ELSE 'hashed' END AS b2_class,
+       cast(8 AS int) AS mh_len,
+       TRUE AS mh_perm_inv,
+       TRUE AS mh_superset_dom
+FROM orders
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LanguageId + QualityScore + regex TokenCount (pure regexp exprs,
+    fully SQL-oracled)."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.data.text import LanguageId, QualityScore, TokenCount
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = PipelineModel(
+        [
+            LanguageId(input_col="text", output_col="lang_id"),
+            QualityScore(input_col="text", output_col="quality"),
+            TokenCount(input_col="text", output_col="n_tok_re", mode="regex"),
+        ]
+    )
+    return model.transform(d).select(
+        "doc_id", "lang_id", F.round("quality", 6).alias("quality"), "n_tok_re"
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS c_en,
+    length(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|en|un|una|por)\b')) AS c_es,
+    length(regexp_extract_all(lower(text), '\b(le|la|les|de|et|un|une|des|du|est)\b')) AS c_fr,
+    length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|den|nicht|mit|sich)\b')) AS c_de,
+    cast(length(text) AS double) AS n_chars,
+    cast(length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS double) AS words,
+    cast(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS double) AS punct,
+    cast(length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS double) AS stop
+  FROM documents
+), s AS (
+  SELECT doc_id, c_en, c_es, c_fr, c_de,
+         greatest(c_en, c_es, c_fr, c_de) AS best,
+         least(n_chars / 500.0, 1.0) AS length_score,
+         least((CASE WHEN words > 0 THEN stop / words ELSE 0.0 END) * 4.0, 1.0) AS stop_score,
+         greatest(1.0 - (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) * 5.0, 0.0) AS punct_penalty,
+         words + punct AS n_tok
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN c_en = best THEN 'en'
+            WHEN c_es = best THEN 'es'
+            WHEN c_fr = best THEN 'fr'
+            ELSE 'de' END AS lang_id,
+       round((length_score + stop_score + punct_penalty) / 3.0, 6) AS quality,
+       cast(n_tok AS int) AS n_tok_re
+FROM s
+"""
+
+
+def _pf_scaled(s):
+    """Module-level vectorized fn for PandasFunctionTransformer (pickled
+    by value into the pipeline; must be top-level for cloudpickle)."""
+    return s * 2.0 + 1.0
+
+
+def _mip_props(it):
+    """MapInPandas batch fn: project event_id/value + per-row char count."""
+    import pandas as pd
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "n_props_char": pdf["props"].str.len().astype("int64"),
+            }
+        )
+
+
+def _q_pandas_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-function escape hatches: MapInPandasTransformer (Arrow batch,
+    schema-changing) then PandasFunctionTransformer (vectorized scalar)."""
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.pandas_fn import (
+        MapInPandasTransformer, PandasFunctionTransformer,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    model = PipelineModel(
+        [
+            MapInPandasTransformer(
+                schema="event_id bigint, value double, n_props_char bigint",
+                fn=_mip_props,
+            ),
+            PandasFunctionTransformer(
+                input_cols=["value"], output_col="v_scaled",
+                return_type="double", fn=_pf_scaled,
+            ),
+        ]
+    )
+    return model.transform(ev).select("event_id", "n_props_char", "v_scaled")
+
+
+_PANDAS_FN_SQL = """
+SELECT event_id,
+       cast(length(props) AS bigint) AS n_props_char,
+       value * 2.0 + 1.0 AS v_scaled
+FROM events
+"""
+
+
+def _q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit -> save spec JSON -> load -> transform: the persistence path
+    produces the exact same fitted features (same oracle as `encoders`)."""
+    import tempfile
+
+    from kamae_spark.core.pipeline import Pipeline, PipelineModel
+    from kamae_spark.operators.indexers import StringIndexEstimator
+    from kamae_spark.operators.scalers import MinMaxScaleEstimator
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pipe = Pipeline(
+        [
+            StringIndexEstimator(input_col="o_orderpriority", output_col="prio_idx"),
+            MinMaxScaleEstimator(input_col="o_totalprice", output_col="price_mm"),
+        ]
+    )
+    model = pipe.fit(o)
+    path = os.path.join(tempfile.mkdtemp(prefix="kamae_rt_"), "model.json")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    return reloaded.transform(o).select(
+        "o_orderkey", "prio_idx", F.round("price_mm", 6).alias("price_mm")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -794,6 +1519,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal,
+        "rowwise_math2": _q_rowwise_math2,
+        "geo_features": _q_geo_features,
+        "rowwise_strings2": _q_rowwise_strings2,
+        "rowwise_dates2": _q_rowwise_dates2,
+        "arrays_ops": _q_arrays_ops,
+        "encoders2": _q_encoders2,
+        "hash_layout": _q_hash_layout,
+        "text_quality": _q_text_quality,
+        "pandas_fn": _q_pandas_fn,
+        "pipeline_roundtrip": _q_pipeline_roundtrip,
     }
 
 
@@ -818,7 +1553,18 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
-        # minhash_lsh / simhash_pairs / ivf_topk / multimodal_features are
-        # intentionally oracle-less: hash-engine-specific or approximate
+        "multimodal_features": _MULTIMODAL_SQL,
+        "rowwise_math2": _ROWWISE_MATH2_SQL,
+        "geo_features": _GEO_SQL,
+        "rowwise_strings2": _ROWWISE_STRINGS2_SQL,
+        "rowwise_dates2": _ROWWISE_DATES2_SQL,
+        "arrays_ops": _ARRAYS_OPS_SQL,
+        "encoders2": _ENCODERS2_SQL,
+        "hash_layout": _HASH_LAYOUT_SQL,
+        "text_quality": _TEXT_QUALITY_SQL,
+        "pandas_fn": _PANDAS_FN_SQL,
+        "pipeline_roundtrip": _ENCODERS_SQL,
+        # minhash_lsh / simhash_pairs / ivf_topk are intentionally
+        # oracle-less: hash-engine-specific or approximate by design
         # (driver records rows-only checks)
     }

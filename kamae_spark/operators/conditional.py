@@ -99,6 +99,37 @@ class Bin(ElementwiseTransform):
         return expr
 
 
+class Bucketize(ElementwiseTransform):
+    """Numeric -> bucket index over sorted ``splits``; bucket =
+    bisect_right(splits, x) + 1 (the +1 reserves index 0 for mask /
+    padding), null stays null (reference bucketize.py:146-165).
+
+    Unlike the reference's per-row binary-search UDF this is a chained
+    ``F.when`` Catalyst expression (whole-stage codegen; split lists are
+    small in practice so a linear chain beats crossing the Python
+    boundary), elementwise through any array nesting.
+    """
+
+    compatible_dtypes = NUMERIC
+
+    @keyword_params
+    def __init__(self, input_col: str, output_col: str,
+                 splits: Sequence[float] = (),
+                 input_dtype: str | None = None, output_dtype: str | None = None):
+        if not splits:
+            raise ValueError("splits must be a non-empty sorted sequence")
+        if list(splits) != sorted(splits):
+            raise ValueError("splits must be sorted ascending")
+
+    def fn(self, x: Column) -> Column:
+        # bisect_right: first split STRICTLY greater than x marks the
+        # bucket; equal values fall to the right of the split
+        expr: Column = F.lit(len(self.splits) + 1)
+        for i, s in reversed(list(enumerate(self.splits))):
+            expr = F.when(x < F.lit(float(s)), F.lit(i + 1)).otherwise(expr)
+        return F.when(x.isNotNull(), expr).cast("int")
+
+
 class StringMap(ElementwiseTransform):
     """CASE WHEN on string equality with default (reference string_map.py:205)."""
 

@@ -16,7 +16,15 @@ from kamae_spark.operators.arrays import (
     OrdinalArrayEncode,
     PairwiseCosineSimilarity,
 )
-from kamae_spark.operators.conditional import Bin, Identity, IfStatement, StringMap
+from pyspark.sql import functions as F
+
+from kamae_spark.operators.conditional import (
+    Bin,
+    Bucketize,
+    Identity,
+    IfStatement,
+    StringMap,
+)
 from kamae_spark.operators.datetimes import (
     CurrentDate,
     CurrentUnixTimestamp,
@@ -144,6 +152,34 @@ def test_conditionals(scalar_features):
     assert got["is_a"].tolist() == [1.0, 0.0, 1.0]
     assert got["bucket"].tolist() == ["small", "mid", "large"]
     assert got["mapped"].tolist() == ["alpha", "beta", "alpha"]
+
+
+def test_bucketize_golden(spark, scalar_features):
+    """Reference golden values (tests/kamae/spark/transformers/
+    test_bucketize.py:118-148): bisect_right + 1, null -> null."""
+    model = PipelineModel(
+        [
+            Bucketize(input_col="col1", output_col="b1", splits=[2.0, 3.0, 5.0]),
+            Bucketize(input_col="col2", output_col="b2", splits=[1.0, 5.0, 7.0, 7.5]),
+            Bucketize(
+                input_col="col1_col2_col3", output_col="b_arr",
+                splits=[1.0, 5.0, 6.0, 7.0, 7.5],
+            ),
+        ]
+    )
+    got = model.transform(scalar_features).toPandas().sort_values("col1").reset_index(drop=True)
+    assert got["b1"].tolist() == [1, 3, 4]
+    assert got["b2"].tolist() == [2, 2, 5]
+    assert [list(a) for a in got["b_arr"]] == [[2, 2, 2], [2, 2, 4], [5, 6, 2]]
+
+    # equal-to-split falls right (bisect_right); null propagates
+    df = spark.createDataFrame([(2.0,), (None,)], "x double")
+    out = Bucketize(input_col="x", output_col="b", splits=[2.0, 3.0, 5.0]).transform(df)
+    vals = [r["b"] for r in out.orderBy(F.col("x").asc_nulls_last()).collect()]
+    assert vals == [2, None]
+
+    with pytest.raises(ValueError):
+        Bucketize(input_col="x", output_col="b", splits=[10.0, 3.0, 5.0])
 
 
 def test_datetime_ops(datetimes):
