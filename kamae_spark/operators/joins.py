@@ -19,10 +19,13 @@ Two physical strategies, selectable per call:
   join node at all, no row explosion, skew bounded by per-key group
   size. This is the 100 TB path: a sort-merge join + groupwise filter
   would shuffle the same bytes but also materialize match candidates.
-- ``broadcast``: plain range-join ``left.join(broadcast(right), key AND
-  l.ts >= r.ts)`` + row_number pick of the latest. Right side must be
-  driver-small; zero shuffle of the (huge) left side beyond what the
-  plan already has. Use when annotations are a small dimension.
+- ``broadcast``: the (small) right side is packed to one row per key
+  holding a ts-sorted ``array<struct>``, broadcast-equi-joined, and the
+  latest ``ts <= left.ts`` match picked by a pure array expression.
+  GENUINELY zero shuffle of the (huge) left side: no hash partitioning,
+  no sort, no row explosion, no window (asserted by
+  test_plan_quality.test_broadcast_asof_left_plan_is_exchange_free).
+  Use when annotations are a small dimension.
 
 ``tolerance_seconds`` bounds the lookback (rows older than the bound do
 not fill forward). Implemented in the union path by nulling payloads
@@ -102,32 +105,45 @@ class AsOfJoin(Transformer):
             return self._broadcast(df, right, payload)
         return self._union(df, right, payload)
 
-    # -- broadcast range-join path ---------------------------------------
+    # -- broadcast packed-array path ---------------------------------------
     def _broadcast(self, left: DataFrame, right: DataFrame, payload: list[str]) -> DataFrame:
-        r = right.select(
-            *[F.col(k).alias(f"__r_{k}") for k in self.on],
-            F.col(self.right_ts).alias("__r_ts"),
-            *[F.col(c).alias(f"{c}{self.suffix}") for c in payload],
+        """Zero-shuffle-of-the-left plan: the (small) right side collapses
+        to one row per key holding a ts-sorted ``array<struct(ts,
+        payload...)>``, which broadcast-equi-joins onto the left; the
+        latest match with ``ts <= left.ts`` is then picked by a pure
+        array expression. The only exchanges in the plan are the
+        right-side aggregation (small by precondition) and the broadcast
+        itself — the huge left side is never hash-partitioned, sorted, or
+        row-exploded (a naive range join would duplicate each left row
+        per candidate and need a window to pick one back).
+        """
+        r = right.groupBy(*self.on).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(self.right_ts).alias("__ts"),
+                        *[F.col(c) for c in payload],
+                    )
+                )
+            ).alias("__ann")
         )
-        cond = F.lit(True)
-        for k in self.on:
-            cond = cond & (F.col(k) == F.col(f"__r_{k}"))
-        cond = cond & (F.col(self.left_ts) >= F.col("__r_ts"))
-        if self.tolerance_seconds is not None:
-            cond = cond & (
-                epoch_seconds(F.col(self.left_ts)) - epoch_seconds(F.col("__r_ts"))
-                <= int(self.tolerance_seconds)
-            )
-        uid = "__asof_uid"
-        left = left.select("*", F.monotonically_increasing_id().alias(uid))
-        joined = left.join(F.broadcast(r), cond, "left")
-        w = Window.partitionBy(uid).orderBy(F.col("__r_ts").desc_nulls_last())
-        out = (
-            joined.select("*", F.row_number().over(w).alias("__asof_rn"))
-            .where(F.col("__asof_rn") == 1)
-            .drop("__asof_rn", uid, "__r_ts", *[f"__r_{k}" for k in self.on])
+        joined = left.join(F.broadcast(r), on=list(self.on), how="left")
+        lts = F.col(self.left_ts)
+
+        def in_range(s: Column) -> Column:
+            ok = s["__ts"] <= lts
+            if self.tolerance_seconds is not None:
+                ok = ok & (
+                    epoch_seconds(lts) - epoch_seconds(s["__ts"])
+                    <= int(self.tolerance_seconds)
+                )
+            return ok
+
+        pick = F.try_element_at(F.filter(F.col("__ann"), in_range), F.lit(-1))
+        return joined.select(
+            *[F.col(c) for c in left.columns],
+            *[pick[c].alias(f"{c}{self.suffix}") for c in payload],
         )
-        return out
 
     # -- union + window fill path (scale default) --------------------------
     def _union(self, left: DataFrame, right: DataFrame, payload: list[str]) -> DataFrame:

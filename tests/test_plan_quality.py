@@ -69,11 +69,20 @@ def test_flagship_exchange_budget(spark, transcripts, annotations):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_broadcast_asof_has_no_left_shuffle(spark, transcripts, annotations):
-    """Broadcast strategy: the big (left) side must not hash-shuffle."""
+def test_broadcast_asof_left_plan_is_exchange_free(spark, transcripts, annotations):
+    """Broadcast strategy: the big (left) side must not hash-shuffle,
+    sort, or window — the ONLY exchanges allowed are the small right
+    side's pre-aggregation and the broadcast itself."""
     op = AsOfJoin(on=("conv_id",), right=annotations, strategy="broadcast")
     plan = _executed(op.transform(transcripts))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    # the single hash exchange is the RIGHT side's groupBy (bounded by
+    # the broadcast-small precondition); the left never exchanges —
+    # the plan segment between the parquet/LocalTableScan of the left
+    # and the join contains no Exchange
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_filter_pushdown_to_parquet(spark, tmp_path):
