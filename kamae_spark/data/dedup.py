@@ -256,27 +256,58 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, tokens_col: str, id_col: str, max_hamming: int = 3,
+def _band_widths(bands: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per band, distributing 64 bits as evenly as
+    possible so every band is non-empty (required for the pigeonhole
+    recall guarantee)."""
+    if not 1 <= bands <= 64:
+        raise ValueError("bands must be in [1, 64]")
+    base, rem = divmod(64, bands)
+    specs, lo = [], 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        specs.append((lo, w))
+        lo += w
+    return specs
+
+
+def simhash_band_keys(sig: Column, bands: int) -> Column:
+    """Array of (band, key) structs cutting a 64-bit signature into
+    ``bands`` contiguous bit bands. Pigeonhole: two signatures within
+    hamming distance ``bands - 1`` MUST share at least one band key."""
+    structs = []
+    for b, (lo, w) in enumerate(_band_widths(bands)):
+        key = F.shiftrightunsigned(sig, lo)
+        if w < 64:
+            key = key.bitwiseAND(F.lit((1 << w) - 1))
+        structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return F.array(*structs)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, sig_col: str, id_col: str, max_hamming: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on the four
-    16-bit signature quarters (any pair within hamming<=3 of a 64-bit
-    signature must agree on at least one quarter — pigeonhole)."""
-    sig = df.select(F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig"))
-    quarters = sig.select(
-        "__id", "__sig",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(q).alias("q"),
-                         F.shiftrightunsigned("__sig", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-                for q in range(4)
-            ])
-        ).alias("qq"),
-    ).select("__id", "__sig", F.col("qq.q").alias("q"), F.col("qq.key").alias("key"))
+    """Near-dup pairs from precomputed 64-bit signatures: banded blocking
+    + exact hamming verify. ``bands`` defaults to ``max_hamming + 1`` —
+    the MINIMUM guaranteeing full recall (a pair differing in at most
+    max_hamming bits cannot differ in all max_hamming+1 bands); passing
+    fewer bands raises rather than silently dropping pairs."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need >= {max_hamming + 1} (pigeonhole)"
+        )
+    sig = sigs.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
+    banded = sig.select(
+        "__id", "__sig", F.explode(simhash_band_keys(F.col("__sig"), bands)).alias("bb")
+    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
     cand = (
-        quarters.alias("x")
-        .join(quarters.alias("y"),
-              (F.col("x.q") == F.col("y.q")) & (F.col("x.key") == F.col("y.key"))
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
               & (F.col("x.__id") < F.col("y.__id")))
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
                 F.col("x.__sig").alias("sa"), F.col("y.__sig").alias("sb"))
@@ -285,6 +316,17 @@ def simhash_neardup_pairs(
     return cand.select(
         "id_a", "id_b", hamming64(F.col("sa"), F.col("sb")).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, tokens_col: str, id_col: str, max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance with banded blocking
+    whose band count is DERIVED from max_hamming (>= max_hamming + 1) so
+    the candidate set provably contains every qualifying pair."""
+    sig = df.select(F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig"))
+    return simhash_pairs_from_sigs(sig, "__sig", "__id", max_hamming, bands)
 
 
 # ---------------------------------------------------------------------------

@@ -113,6 +113,44 @@ def test_simhash_and_neardup(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_simhash_banding_pigeonhole(spark):
+    """Every pair within max_hamming MUST be a candidate — including
+    adversarial signatures whose differing bits span all bands of a
+    COARSER banding (the round-1 recall bug: fixed 4 quarters at
+    max_hamming>3). Also: too-few bands raises instead of dropping."""
+    import random
+
+    from kamae_spark.data.dedup import simhash_pairs_from_sigs
+
+    rng = random.Random(7)
+    rows, expected = [], set()
+    base = rng.getrandbits(63)
+    rows.append((0, base))
+    nxt = 1
+    for ham in (1, 3, 4, 7, 10):
+        # spread the flipped bits maximally (worst case for banding)
+        bits = [round(i * 63 / max(ham - 1, 1)) for i in range(ham)]
+        sig = base
+        for b in set(bits):
+            sig ^= 1 << b
+        rows.append((nxt, sig))
+        expected.add((0, nxt, ham))
+        nxt += 1
+    rows.append((nxt, ~base & ((1 << 63) - 1)))  # far: ~63 differing bits
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in rows],
+        "id long, sig long",
+    )
+    got = simhash_pairs_from_sigs(df, "sig", "id", max_hamming=10).toPandas()
+    found = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+    for a, b, ham in expected:
+        assert (a, b) in found, f"missed pair at hamming={ham}"
+    assert (0, nxt) not in found  # the far signature stays excluded
+
+    with pytest.raises(ValueError):
+        simhash_pairs_from_sigs(df, "sig", "id", max_hamming=10, bands=4)
+
+
 def test_embedding_neardup(spark):
     rng = np.random.RandomState(0)
     v = rng.randn(8).astype(float)
