@@ -146,17 +146,42 @@ def minhash_signatures(
     )
 
 
+def minhash_band_plan(num_perm: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve threshold best matches the
+    target jaccard threshold. P(candidate | jaccard=j) = 1-(1-j^r)^b
+    with r = num_perm/b rows per band; the curve's inflection sits at
+    j* ~ (1/b)^(1/r), so we choose the divisor b of num_perm minimizing
+    |(1/b)^(1/r) - threshold|. Fewer bands -> fewer false candidates
+    (sub-quadratic safety at corpus scale); more bands -> higher recall
+    below the threshold."""
+    best_b, best_err = 1, float("inf")
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        err = abs((1.0 / b) ** (1.0 / r) - threshold)
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
-    n: int = 3, num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
-    tokenizer: str = "char",
+    n: int = 3, num_perm: int = 64, bands: int | None = None,
+    threshold: float = 0.5, tokenizer: str = "char",
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-jaccard verify.
 
     Shuffle profile: (1) explode to (band_id, band_hash) — rows x bands,
     tiny payload; (2) self-join per bucket; (3) verify with the original
     gram sets (joined back by id). Candidate volume is governed by
-    bands/rows-per-band: P(collide) = 1-(1-j^r)^b."""
+    bands/rows-per-band: P(collide) = 1-(1-j^r)^b; by default ``bands``
+    is solved from (num_perm, threshold) via minhash_band_plan so the
+    S-curve inflection tracks the verify threshold instead of a fixed
+    constant that over- or under-generates candidates as thresholds
+    change."""
+    if bands is None:
+        bands = minhash_band_plan(num_perm, threshold)
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
@@ -370,12 +395,30 @@ def hyperplane_bits(vec: Column, dim: int, n_bits: int = 8, seed: int = 42) -> C
 
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str,
-    threshold: float = 0.95, n_bits: int = 8, seed: int = 42,
+    threshold: float = 0.95, n_bits: int | None = None, seed: int = 42,
+    target_bucket_rows: int = 128, dim: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs, candidate-limited to equal LSH sign-bit
-    buckets (high-threshold near-dups almost surely share all sign bits)."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    buckets (high-threshold near-dups almost surely share all sign bits).
+
+    ``n_bits`` defaults to log2(corpus / target_bucket_rows): a FIXED
+    bucket count leaves quadratic mega-buckets once the corpus outgrows
+    it, so the bucket count scales with the corpus to hold expected
+    occupancy (and the per-bucket quadratic term) roughly constant.
+    Pass ``dim`` to skip the dimension-probe job (one row read)."""
+    import math
+
+    if dim is None:
+        dim_row = (
+            df.select(F.size(vec_col).alias("d"))
+            .where(F.col(vec_col).isNotNull()).limit(1).first()
+        )
+        if dim_row is None:
+            raise ValueError(f"cannot infer array dim of empty column {vec_col}")
+        dim = int(dim_row["d"])
+    if n_bits is None:
+        n = df.count()
+        n_bits = min(max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows))), 24)
     sel = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),

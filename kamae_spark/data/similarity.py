@@ -62,39 +62,102 @@ def brute_force_topk(
     )
 
 
+def fit_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int,
+    sample_rows: int = 4096, iters: int = 8, seed: int = 42,
+):
+    """Seeded spherical k-means centroids (unit-normalized, for cosine).
+
+    Fit-side bounded: a pseudo-random deterministic sample (top-N by
+    xxhash64 of the vector — a map-side partial top-N, no full sort)
+    of <= sample_rows vectors reaches the driver; Lloyd iterations run
+    in numpy there. Returns a (K, dim) unit-row ndarray."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>")).asc())
+        .limit(int(sample_rows))
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(int(n_centroids), len(X))
+    rng = np.random.RandomState(seed)
+    # kmeans++-style seeding on the sample
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(k - 1):
+        d2 = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        d2 = np.maximum(d2, 0.0)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(cents)
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _bucket_udfs(cents):
+    """Arrow-vectorized centroid assignment: one numpy matmul per batch
+    (the round-1 version scored every centroid through interpreted
+    F.transform/F.aggregate lambdas — per-element Python-free but
+    interpreted per ROW per CENTROID in the JVM, the dominant cost of
+    the assignment pass at corpus scale)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = cents  # (K, d), unit rows; captured by value in the closure
+
+    def _unit(s: pd.Series):
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    def assign1(s):
+        return pd.Series(np.argmax(_unit(s) @ C.T, axis=1).astype(np.int32))
+
+    def topn_factory(n: int):
+        def topn(s):
+            sims = _unit(s) @ C.T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(idx.astype(np.int32)))
+
+        return topn
+
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints, which pyspark's hint inference cannot resolve
+    return (
+        pandas_udf(assign1, "int", functionType=200),
+        lambda n: pandas_udf(topn_factory(n), "array<int>", functionType=200),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
-    k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+    k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
 ) -> DataFrame:
-    """IVF-bucketed ANN: centroids are the first `n_centroids` corpus
-    vectors by id (deterministic; KMeans would drop in trivially and
-    change nothing structurally). Corpus rows are assigned to their
-    nearest centroid once; each query searches only its `nprobe`
-    closest buckets."""
-    cent = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
-    cent_rows = cent.collect()  # n_centroids rows, tiny by construction
-    cent_arr = F.array(*[F.lit([float(v) for v in r["cv"]]) for r in cent_rows])
-    cent_ids = [int(r["cid"]) for r in cent_rows]
-
-    def nearest_buckets(vec: Column, n: int) -> Column:
-        """ids of the n closest centroids (by cosine) as an array."""
-        sims = F.transform(cent_arr, lambda cv: cosine(vec, cv))
-        idx = F.sequence(F.lit(0), F.lit(len(cent_ids) - 1))
-        pairs = F.arrays_zip(sims.alias("s"), idx.alias("i"))
-        ordered = F.reverse(F.array_sort(pairs))  # by sim asc -> reversed
-        return F.transform(F.slice(ordered, 1, n), lambda p: p["i"])
+    """IVF-bucketed ANN: seeded spherical-k-means centroids (fit on a
+    bounded driver sample), numpy-matmul Arrow assignment, bucket-pruned
+    search: each query scans only its `nprobe` closest buckets
+    (~nprobe/K of the corpus)."""
+    cents = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
+    assign1, topn = _bucket_udfs(cents)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        F.element_at(nearest_buckets(F.col(vec_col), 1), 1).alias("bucket"),
+        assign1(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(nearest_buckets(F.col(vec_col), nprobe)).alias("bucket"),
+        F.explode(topn(nprobe)(F.col(vec_col))).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
