@@ -200,10 +200,33 @@ class PipelineModel(Stage):
         return cls([Stage.from_spec(s) for s in spec["stages"]])  # type: ignore[list-item]
 
 
+def _canon_json(v):
+    """Canonicalize stage params for the JSON spec: numpy scalars become
+    native Python numbers, tuples/sets become lists. Anything else
+    non-JSON-native raises at SAVE time — the previous default=str
+    silently stringified such params, producing a spec that loads
+    without error but reconstructs wrong-typed stages."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple, set)):
+        return [_canon_json(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _canon_json(x) for k, x in v.items()}
+    item = getattr(v, "item", None)  # numpy scalar -> python scalar
+    if callable(item):
+        out = item()
+        if isinstance(out, (bool, int, float, str)):
+            return out
+    raise TypeError(
+        f"stage param of type {type(v).__name__} is not JSON-serializable; "
+        "coerce it to a native Python type before save()"
+    )
+
+
 def _save_spec(path: str, spec: dict) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        json.dump(spec, f, indent=1, default=str)
+        json.dump(_canon_json(spec), f, indent=1)
 
 
 def _load_spec(path: str) -> dict:

@@ -74,13 +74,21 @@ class BloomEncode(ElementwiseTransform):
 class MinHashIndex(ElementwiseTransform):
     """array<string> (a token set) -> num_permutations minhash signature
     (reference min_hash_index.py:144, min_hash_udf): signature[p] =
-    min over tokens of hash_p(token), hash_p = xxhash64 salted by p."""
+    min over tokens of hash_p(token), hash_p = xxhash64 salted by p.
+
+    Output-shape note: the reference emits the PARITY BIT of each
+    min-hash (min_hash_udf takes ``min_hash & 1``, yielding a {0,1}
+    feature array for model input); set ``parity_bit=True`` for that
+    layout. The default emits the raw 64-bit minima, which downstream
+    LSH banding needs (parity bits destroy band selectivity) — a
+    deliberate, documented deviation alongside the xxhash64-vs-farmhash
+    one above."""
 
     compatible_dtypes = ("string",)
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
-                 num_permutations: int = 64,
+                 num_permutations: int = 64, parity_bit: bool = False,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         if num_permutations < 1:
             raise ValueError("num_permutations must be >= 1")
@@ -95,14 +103,18 @@ class MinHashIndex(ElementwiseTransform):
             raise TypeError(f"{self.input_col} must be an array of strings")
 
         def sig(tokens: Column) -> Column:
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(self.num_permutations - 1)),
-                lambda p: F.array_min(
+            def one(p: Column) -> Column:
+                m = F.array_min(
                     F.transform(
                         tokens,
                         lambda t: F.xxhash64(F.concat(p.cast("string"), F.lit("#"), t)),
                     )
-                ),
+                )
+                # reference layout: {0,1} parity-bit feature array
+                return F.pmod(m, F.lit(2)).cast("int") if self.parity_bit else m
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(self.num_permutations - 1)), one
             )
 
         expr = nested_transform(self._in(df, self.input_col), sig, level - 1)

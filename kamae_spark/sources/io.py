@@ -53,10 +53,15 @@ def repartition_salted(
     """Spread hot keys across `salt` sub-partitions for associative
     downstream work (writes, partial aggregates). NOT for window
     operators — those need all rows of a key together (SURVEY.md §7
-    risk 3); their skew relief is AQE + per-conversation length bounds."""
-    return df.repartition(
-        num_partitions, F.col(key), F.pmod(F.xxhash64(F.rand(seed=0)), F.lit(salt))
-    )
+    risk 3); their skew relief is AQE + per-conversation length bounds.
+
+    The salt derives from ROW CONTENT (hash of all columns), never from
+    F.rand: a random expression is re-evaluated with different values
+    when a map task is recomputed after a fetch failure, migrating rows
+    between partitions across retries — the classic duplicate/lost-row
+    hazard in downstream shuffles and writes."""
+    content_salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    return df.repartition(num_partitions, F.col(key), content_salt)
 
 
 class CheckpointedFeatureWriter:
@@ -128,8 +133,18 @@ class CheckpointedFeatureWriter:
         t0 = time.time()
         bucketed = df.select("*", bucket_expr(self.key_cols, self.n_buckets).alias(BUCKET_COL))
         part = bucketed.where(F.col(BUCKET_COL).isin([int(b) for b in todo]))
+        # scope dynamic partition overwrite to THIS write: leaking it into
+        # the shared session would silently change overwrite semantics for
+        # every later partitioned write in the same session
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        part.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(self.data_path)
+        try:
+            part.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(self.data_path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         wall = time.time() - t0
 
         # per-bucket row counts from the written files (metadata-cheap scan
