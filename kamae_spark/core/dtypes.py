@@ -70,10 +70,27 @@ def check_compatible(df, cols, compatible: tuple[str, ...] | None, stage: str) -
             )
 
 
-def nested_cast(col, level: int, dtype: str):
-    """Cast a (possibly nested-array) column's elements to ``dtype``."""
+def nested_cast(col, level: int, dtype: str, src: str | None = None):
+    """Cast a (possibly nested-array) column's elements to ``dtype``,
+    normalizing IEEE ``-0.0`` to ``+0.0`` on the way (reference
+    spark_operation.py:138-155: negatively signed zeros don't match
+    TensorFlow, so any numeric cast forces positive zero).
+
+    ``src`` is the source element dtype name when the caller knows it
+    (used to normalize float -> non-float casts, e.g. -0.0 -> "0.0"
+    rather than "-0.0"); float/double TARGETS normalize post-cast
+    without needing it."""
     from pyspark.sql import functions as F
 
     if level == 0:
-        return col.cast(DTYPES[dtype])
-    return F.transform(col, lambda x: nested_cast(x, level - 1, dtype))
+        target = DTYPES[dtype]
+        if dtype in ("float", "double"):
+            c = col.cast(target)
+            # -0.0 * signum(-0.0) = -0.0 * -0.0 = +0.0; non-zero unchanged
+            return F.when(c == 0, (c * F.signum(c)).cast(target)).otherwise(c)
+        if src in ("float", "double"):
+            col = F.when(
+                col == 0, (col * F.signum(col)).cast(DTYPES[src])
+            ).otherwise(col)
+        return col.cast(target)
+    return F.transform(col, lambda x: nested_cast(x, level - 1, dtype, src))

@@ -132,8 +132,8 @@ class Transformer(Stage):
         c = F.col(col)
         cast_to = getattr(self, "input_dtype", None)
         if cast_to:
-            level, _ = dt.column_info(df, col)
-            c = dt.nested_cast(c, level, cast_to)
+            level, src = dt.column_info(df, col)
+            c = dt.nested_cast(c, level, cast_to, src=src)
         return c
 
     def _out(self, df: DataFrame, expr: Column, level: int = 0) -> Column:
