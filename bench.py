@@ -144,6 +144,33 @@ def main() -> None:
         extras["events_turns"] = n_events
         t.unpersist()
 
+    # -- data-ops over synthetic corpora (scaling-run participants) --------
+    n_data = int(os.environ.get("KAMAE_BENCH_DATA_OPS", "0"))
+    if n_data:
+        from kamae_spark.data.dedup import minhash_lsh_pairs
+        from kamae_spark.data.similarity import ivf_topk
+        from kamae_spark.sources.synth import documents_table, embeddings_table
+
+        docs = documents_table(spark, n_docs=n_data).cache()
+        docs.count()
+        mh = minhash_lsh_pairs(docs, "text", "doc_id", n=2, tokenizer="word",
+                               threshold=0.6)
+        _force(mh)  # warm
+        queries["minhash_lsh_synth"] = _time_best(mh)
+        extras["synth_docs"] = n_data
+        docs.unpersist()
+
+        n_vecs = n_data // 2
+        emb = embeddings_table(spark, n_vecs=n_vecs, dim=64, n_clusters=256).cache()
+        emb.count()
+        q8 = emb.where(emb.vec_id < 16)
+        ivf = ivf_topk(emb, q8, "embedding", "vec_id", k=10,
+                       n_centroids=64, nprobe=8)
+        _force(ivf)  # warm (includes centroid fit)
+        queries["ivf_topk_synth"] = _time_best(ivf)
+        extras["synth_vecs"] = n_vecs
+        emb.unpersist()
+
     # -- flagship over synthetic transcripts (~10x the events rows) -------
     synth = transcripts_table(spark, n_convs=SYNTH_CONVS).cache()
     n_synth = synth.count()

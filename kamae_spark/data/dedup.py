@@ -126,24 +126,31 @@ def ngram_jaccard_pairs(
 # minhash LSH (sub-quadratic)
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_perm: int = 64,
-    tokenizer: str = "char",
-) -> DataFrame:
-    """(id, minhash signature array) — computed as explode(grams) ->
-    row-wise xxhash64 (whole-stage codegen) -> num_perm-way min
-    aggregate. Higher-order-function lambdas are interpreted per element
-    in Spark, so the naive transform(transform(...)) signature is ~50x
-    slower than this shape; here the per-gram work is codegen'd and the
-    shuffle carries only docs x num_perm longs (map-side partial min)."""
-    g = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), n, tokenizer)).alias("__g"),
-    ).select("__id", F.xxhash64("__g").alias("__h"))
+def _signatures_from_grams(gsel: DataFrame, num_perm: int) -> DataFrame:
+    """(id, minhash signature array) from a (__id, __g array<string>)
+    gram table — explode(grams) -> row-wise xxhash64 (whole-stage
+    codegen) -> num_perm-way min aggregate. Higher-order-function
+    lambdas are interpreted per element in Spark, so the naive
+    transform(transform(...)) signature is ~50x slower than this shape;
+    here the per-gram work is codegen'd and the shuffle carries only
+    docs x num_perm longs (map-side partial min)."""
+    g = gsel.select("__id", F.explode("__g").alias("__t")).select(
+        "__id", F.xxhash64("__t").alias("__h")
+    )
     aggs = [F.min(F.xxhash64(F.col("__h"), F.lit(p))).alias(f"_p{p}") for p in range(num_perm)]
     return g.groupBy("__id").agg(*aggs).select(
         "__id", F.array(*[F.col(f"_p{p}") for p in range(num_perm)]).alias("__sig")
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_perm: int = 64,
+    tokenizer: str = "char",
+) -> DataFrame:
+    gsel = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n, tokenizer).alias("__g")
+    )
+    return _signatures_from_grams(gsel, num_perm)
 
 
 def minhash_band_plan(num_perm: int, threshold: float) -> int:
@@ -168,7 +175,7 @@ def minhash_band_plan(num_perm: int, threshold: float) -> int:
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, num_perm: int = 64, bands: int | None = None,
-    threshold: float = 0.5, tokenizer: str = "char",
+    threshold: float = 0.5, tokenizer: str = "char", cache_grams: bool = True,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-jaccard verify.
 
@@ -185,7 +192,16 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    base = minhash_signatures(df, text_col, id_col, n, num_perm, tokenizer)
+    # shingle construction is the expensive interpreted-HOF step and is
+    # needed THREE times (signatures + both sides of the verify join);
+    # persist the gram table so it runs once (at real cluster scale the
+    # analogue is materializing grams/signatures to a temp table)
+    gsel = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n, tokenizer).alias("__g")
+    )
+    if cache_grams:
+        gsel = gsel.persist()
+    base = _signatures_from_grams(gsel, num_perm)
     band = base.select(
         "__id",
         F.explode(
@@ -215,10 +231,9 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    gsel = df.select(F.col(id_col).alias("__gid"), shingles(F.col(text_col), n, tokenizer).alias("__g"))
     verified = (
-        cand.join(gsel.withColumnRenamed("__gid", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
-        .join(gsel.withColumnRenamed("__gid", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
+        cand.join(gsel.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
+        .join(gsel.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
         .select(
             "id_a", "id_b",
             (F.size(F.array_intersect("__ga", "__gb")).cast("double")

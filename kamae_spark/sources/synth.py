@@ -89,6 +89,77 @@ def transcripts_table(
     )
 
 
+_DOC_VOCAB = (
+    "table scan filter join merge sort window agg group key value row column "
+    "batch stream query plan spark data fast slow big small the a of order"
+).split()
+
+
+def documents_table(
+    spark: SparkSession, n_docs: int = 1000, seed: int = 13, dup_every: int = 10
+) -> DataFrame:
+    """Deterministic synthetic document corpus for dedup benchmarks:
+    (doc_id bigint, text string). Words drawn from a small vocab by
+    xxhash64; every ``dup_every``-th doc is a NEAR-duplicate of its
+    predecessor (same word stream, one word mutated) so minhash/simhash
+    have real positives to find. Pure-expr generation — identical rows
+    at any parallelism (scaling-run requirement)."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_dup = F.pmod(F.col("doc_id"), dup_every) == 1
+    src = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    h0 = F.abs(_h(src, F.lit(seed)))
+    n_words = (20 + F.pmod(h0, F.lit(60))).cast("int")
+    vocab = F.array(*[F.lit(w) for w in _DOC_VOCAB])
+
+    def word(i):
+        h = F.abs(_h(src, i, F.lit(seed)))
+        # stem from a small vocab + numeric suffix -> effective vocab in
+        # the thousands, so RANDOM doc pairs have near-zero jaccard (like
+        # a real corpus) while planted dups stay near 1; without the
+        # suffix every pair is ~10% similar and LSH candidate volume
+        # explodes quadratically
+        w = F.concat(
+            F.element_at(vocab, (F.pmod(h, len(_DOC_VOCAB)) + 1).cast("int")),
+            F.lit("_"), F.pmod(h, 211).cast("string"),
+        )
+        # dup docs mutate exactly one position -> jaccard just below 1
+        return F.when(is_dup & (i == 3), F.lit("mutated")).otherwise(w)
+
+    text = F.array_join(F.transform(F.sequence(F.lit(0), n_words - 1), word), " ")
+    return base.select("doc_id", text.alias("text"))
+
+
+def embeddings_table(
+    spark: SparkSession, n_vecs: int = 1000, dim: int = 64,
+    n_clusters: int = 64, seed: int = 5,
+) -> DataFrame:
+    """Deterministic clustered embedding corpus for ANN benchmarks:
+    (vec_id bigint, embedding array<double>). Vectors are cluster center
+    + small deterministic noise, both closed-form functions of
+    (cluster, component) / (id, component) — generated in one Arrow
+    batch pass (mapInPandas + numpy), identical at any parallelism
+    because values depend only on vec_id."""
+    import numpy as np
+    import pandas as pd
+
+    d, k, s = int(dim), int(n_clusters), int(seed)
+
+    def gen(batches):
+        j = np.arange(d, dtype=np.float64)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.float64)
+            c = (pdf["vec_id"].to_numpy(dtype=np.int64) % k).astype(np.float64)
+            centers = np.sin(np.outer(c, j * 1.7) + c[:, None] * 37.1 + s) * 3.0
+            noise = np.sin(np.outer(ids, j * 2.3) + ids[:, None] * 0.7919) * 0.4
+            m = centers + noise
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "embedding": list(m)})
+
+    return (
+        spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+        .mapInPandas(gen, schema="vec_id bigint, embedding array<double>")
+    )
+
+
 def annotations_table(
     spark: SparkSession, transcripts: DataFrame, every: int = 6, seed: int = 7
 ) -> DataFrame:
