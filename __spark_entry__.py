@@ -1432,6 +1432,77 @@ FROM events
 """
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming job: file-source readStream over the
+    events parquet -> session_window aggregation -> availableNow trigger
+    into a memory sink, returned as a batch DataFrame. Oracle: ANSI
+    gaps-and-islands (new session when the gap >= 1800s, matching
+    session_window merge semantics; window end = last ts + gap)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kamae_spark.streaming.sessions import stream_sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; stage the (small)
+    # events file into one
+    stream_dir = tempfile.mkdtemp(prefix="kamae_stream_src_")
+    if os.path.isdir(path):
+        shutil.copytree(path, os.path.join(stream_dir, "events.parquet"))
+    else:
+        shutil.copy(path, stream_dir)
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("turn_idx"),
+        )
+    )
+    sess = stream_sessionize(stream, gap_seconds=1800, watermark="0 seconds")
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "conv_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_turns",
+        F.col("first_turn").alias("first_event"),
+        F.col("last_turn").alias("last_event"),
+    )
+
+
+_STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts, event_id FROM events
+),
+m AS (
+  SELECT conv_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT conv_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       count(*) AS n_turns,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event
+FROM s GROUP BY conv_id, sid
+"""
+
+
 def _q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit -> save spec JSON -> load -> transform: the persistence path
     produces the exact same fitted features (same oracle as `encoders`)."""
@@ -1529,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "pandas_fn": _q_pandas_fn,
         "pipeline_roundtrip": _q_pipeline_roundtrip,
+        "streaming_sessions": _q_streaming_sessions,
     }
 
 
@@ -1564,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "pandas_fn": _PANDAS_FN_SQL,
         "pipeline_roundtrip": _ENCODERS_SQL,
+        "streaming_sessions": _STREAMING_SESSIONS_SQL,
         # minhash_lsh / simhash_pairs / ivf_topk are intentionally
         # oracle-less: hash-engine-specific or approximate by design
         # (driver records rows-only checks)

@@ -81,21 +81,35 @@ def _ancestor_indices(stages: list[Stage], targets: Iterable[int]) -> set[int]:
     return out
 
 
-def _fused_transform(df: DataFrame, transformers: list[Transformer]) -> DataFrame:
+def _fused_transform(
+    df: DataFrame, transformers: list[Transformer],
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """Apply transformers with select-fusion.
 
     A batch of pending (alias -> Column) exprs is flushed into one
     ``select("*", ...)`` whenever the next stage needs a pending column
     (a select cannot reference an alias defined in the same select) or
     is not expressible as a projection.
-    """
+
+    ``checkpoint_every``: lineage-truncation valve for VERY long
+    pipelines (hundreds of dependent stages). Every N flushes the plan
+    is cut with ``localCheckpoint`` so Catalyst analysis/optimization
+    cost stays bounded instead of growing superlinearly with plan depth
+    (SURVEY.md §7 risk 4 — the reference hits the same wall through
+    thousands of withColumns). Fused selects make this rarely needed;
+    leave None unless analysis time is observed to dominate."""
     pending: dict[str, Any] = {}
+    flushes = 0
 
     def flush() -> None:
-        nonlocal df
+        nonlocal df, flushes
         if pending:
             df = df.select("*", *[c.alias(n) for n, c in pending.items()])
             pending.clear()
+            flushes += 1
+            if checkpoint_every and flushes % checkpoint_every == 0:
+                df = df.localCheckpoint(eager=False)
 
     for t in transformers:
         if any(c in pending for c in t.input_columns):
@@ -173,12 +187,17 @@ class PipelineModel(Stage):
         super().__init__()
         self.stages = stages
 
-    def transform(self, df: DataFrame, outputs: list[str] | None = None) -> DataFrame:
+    def transform(
+        self, df: DataFrame, outputs: list[str] | None = None,
+        checkpoint_every: int | None = None,
+    ) -> DataFrame:
         """Apply all stages; with ``outputs``, dead-stage-eliminate first:
         only stages whose outputs (transitively) feed a requested column
         run (engine-level rule mirroring fit-time estimator-ancestor
         pruning — Catalyst's column pruning cannot remove stages that
-        were never needed when later stages shuffle)."""
+        were never needed when later stages shuffle).
+        ``checkpoint_every``: see _fused_transform (lineage valve for
+        very long pipelines)."""
         stages = _toposort(list(self.stages))
         if outputs is not None:
             targets = [
@@ -187,7 +206,7 @@ class PipelineModel(Stage):
             ]
             keep = set(targets) | _ancestor_indices(stages, targets)
             stages = [s for i, s in enumerate(stages) if i in keep]
-        return _fused_transform(df, stages)  # type: ignore[arg-type]
+        return _fused_transform(df, stages, checkpoint_every)  # type: ignore[arg-type]
 
     def save(self, path: str) -> None:
         _save_spec(

@@ -247,54 +247,116 @@ class ConditionalStandardScaleEstimator(Estimator):
         if scaling == "binary" and relevance_col is None:
             raise ValueError("relevance_col must be set for binary scaling")
 
+    @staticmethod
+    def _binary_moments(n: float, f: float) -> tuple[float, float]:
+        """mean = 1 - f/n; stddev per reference _get_binary_moments."""
+        p = f / n
+        mean = 1.0 - p
+        var = (f * (1.0 - p) ** 2 + (n - f) * p**2) / (n - 1.0)
+        return mean, max(var, 0.0) ** 0.5
+
     def fit(self, df: DataFrame) -> "ConditionalStandardScaleTransformer":
         src = self._fit_input(df)
         if self.filter_expr:
             src = src.where(self.filter_expr)
-        v = F.col(self.input_col).cast("double")
-        if self.scaling == "binary":
-            one = v == 1.0
-            rel = F.col(self.relevance_col) > 0
-            row = src.agg(
-                F.sum(F.when(one, 1).otherwise(0)).alias("n"),
-                F.sum(F.when(one & rel, 1).otherwise(0)).alias("f"),
-            ).first()
-            n, f = float(row["n"]), float(row["f"])
-            p = f / n
-            mean = 1.0 - p
-            var = (f * (1.0 - p) ** 2 + (n - f) * p**2) / (n - 1.0)
-            return ConditionalStandardScaleTransformer(
-                input_col=self.input_col, output_col=self.output_col,
-                mean=mean, stddev=max(var, 0.0) ** 0.5, scaling="standard",
-                skip_zeros=self.skip_zeros,
-            )
-        if self.skip_zeros:
-            v = F.when(v != 0.0, v)
-        if self.scaling == "log10":
-            v = F.log10(v)
-        row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
+        level, _ = column_info(df, self.input_col)
+
+        def elem(i: int | None) -> Column:
+            c = F.col(self.input_col)
+            v = (c if i is None else F.element_at(c, i + 1)).cast("double")
+            return v
+
+        def moments(i: int | None) -> tuple[Column, Column]:
+            if self.scaling == "binary":
+                one = elem(i) == 1.0
+                rel = F.col(self.relevance_col) > 0
+                return (
+                    F.sum(F.when(one, 1).otherwise(0)).cast("double"),
+                    F.sum(F.when(one & rel, 1).otherwise(0)).cast("double"),
+                )
+            v = elem(i)
+            if self.skip_zeros:
+                v = F.when(v != 0.0, v)
+            if self.scaling == "log10":
+                v = F.log10(v)
+            return F.mean(v), F.stddev_pop(v)
+
+        if level == 0:
+            a, b = moments(None)
+            row = src.agg(a.alias("a"), b.alias("b")).first()
+            if self.scaling == "binary":
+                mean, std = self._binary_moments(float(row["a"]), float(row["b"]))
+            else:
+                mean, std = float(row["a"]), float(row["b"])
+        else:
+            # per-element moments, no explode (reference
+            # conditional_standard_scale.py:398-540 element_struct aggs)
+            dim = _array_dim(src, self.input_col)
+            aggs = []
+            for i in range(dim):
+                a, b = moments(i)
+                aggs += [a.alias(f"a{i}"), b.alias(f"b{i}")]
+            row = src.agg(*aggs).first()
+            if self.scaling == "binary":
+                pairs = [
+                    self._binary_moments(float(row[f"a{i}"]), float(row[f"b{i}"]))
+                    for i in range(dim)
+                ]
+                mean = [m for m, _ in pairs]
+                std = [s for _, s in pairs]
+            else:
+                mean = [float(row[f"a{i}"]) for i in range(dim)]
+                std = [float(row[f"b{i}"]) for i in range(dim)]
         return ConditionalStandardScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
-            mean=float(row["m"]), stddev=float(row["s"]), scaling=self.scaling,
+            mean=mean, stddev=std,
+            scaling="standard" if self.scaling == "binary" else self.scaling,
             skip_zeros=self.skip_zeros,
         )
 
 
 class ConditionalStandardScaleTransformer(ElementwiseTransform):
+    """Scalar or per-element (list mean/stddev) conditional scaling."""
+
     compatible_dtypes = NUMERIC
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
-                 mean: float = 0.0, stddev: float = 1.0,
+                 mean: Sequence[float] | float = 0.0,
+                 stddev: Sequence[float] | float = 1.0,
                  scaling: str = "standard", skip_zeros: bool = False):
         pass
 
-    def fn(self, x: Column) -> Column:
+    def _scale1(self, x: Column, m: Column, s: Column) -> Column:
         v = F.log10(x) if self.scaling == "log10" else x
-        out = (v - F.lit(self.mean)) / F.lit(self.stddev)
+        out = (v - m) / s
         if self.skip_zeros:
             return F.when(x == 0.0, x).otherwise(out)
         return out
+
+    def build(self, df: DataFrame):
+        self._validate(df)
+        level, _ = column_info(df, self.input_col)
+        col = self._in(df, self.input_col)
+        if not isinstance(self.mean, (list, tuple)):
+            m, s = F.lit(float(self.mean)), F.lit(float(self.stddev))
+            expr = nested_transform(col, lambda x: self._scale1(x, m, s), level)
+        else:
+            if level < 1:
+                raise TypeError("per-element stats require an array input column")
+            means = F.lit([float(v) for v in self.mean])
+            stds = F.lit([float(v) for v in self.stddev])
+
+            def scale_arr(arr: Column) -> Column:
+                return F.transform(
+                    arr,
+                    lambda x, i: self._scale1(
+                        x, F.element_at(means, i + 1), F.element_at(stds, i + 1)
+                    ),
+                )
+
+            expr = nested_transform(col, scale_arr, level - 1)
+        return {self.output_col: self._out(df, expr, level)}
 
 
 class ImputeTransformer(ElementwiseTransform):

@@ -34,13 +34,43 @@ from pyspark.sql import functions as F
 BUCKET_COL = "_bucket"
 
 
-def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet",
+    snapshot_id: int | None = None, as_of_timestamp: int | None = None,
+) -> DataFrame:
     """Source abstraction: `fmt='iceberg'` loads via the Iceberg catalog
-    (table identifier in `path`); otherwise partitioned Parquet with the
-    same layout."""
+    (table identifier in `path`), with optional time travel —
+    `snapshot_id` or `as_of_timestamp` (epoch millis) map to Iceberg's
+    read options, so resumable re-runs can pin the exact table state a
+    killed job saw. Otherwise partitioned Parquet with the same layout
+    (the exercised branch here: the sandbox has no Iceberg jars)."""
     if fmt == "iceberg":
-        return spark.read.format("iceberg").load(path)
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", int(snapshot_id))
+        if as_of_timestamp is not None:
+            r = r.option("as-of-timestamp", int(as_of_timestamp))
+        return r.load(path)
+    if snapshot_id is not None or as_of_timestamp is not None:
+        raise ValueError("time travel requires fmt='iceberg'")
     return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet",
+    mode: str = "append", partition_by: Sequence[str] = (),
+) -> None:
+    """Sink abstraction mirroring read_table: Iceberg v2 table when a
+    catalog is configured (`path` = table identifier), else partitioned
+    Parquet with the same layout. Use CheckpointedFeatureWriter instead
+    when resumability/lineage is needed."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "iceberg":
+        w.format("iceberg").saveAsTable(path)
+    else:
+        w.parquet(path)
 
 
 def bucket_expr(key_cols: Sequence[str], n_buckets: int):

@@ -135,3 +135,24 @@ def test_transform_output_pruning(spark):
     out = model.transform(df, outputs=["b"])
     assert "b" in out.columns and "unrelated" not in out.columns
     assert calls == ["a", "b"]  # unrelated stage never built
+
+
+def test_checkpoint_every_long_chain(spark):
+    """A long DEPENDENT chain (each stage consumes the previous output,
+    so every stage is its own flush) produces identical results with and
+    without the localCheckpoint lineage valve."""
+    df = spark.range(50).select((F.col("id") * 1.0).alias("c0"))
+    stages = [
+        AddOne(input_col=f"c{i}", output_col=f"c{i + 1}") for i in range(60)
+    ]
+    plain = PipelineModel(stages).transform(df).select("c60").toPandas()
+    valved = (
+        PipelineModel(stages)
+        .transform(df, checkpoint_every=10)
+        .select("c60")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        plain.sort_values("c60").reset_index(drop=True),
+        valved.sort_values("c60").reset_index(drop=True),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kamae_spark.core.pipeline import Pipeline, PipelineModel
 from kamae_spark.operators.hashing import BloomEncode, HashIndex, MinHashIndex
@@ -228,3 +229,44 @@ def test_conditional_binary_scaling(spark):
     assert abs(model.mean - (1 - p)) < 1e-9
     exp_std = ((f * (1 - p) ** 2 + (n - f) * p**2) / (n - 1)) ** 0.5
     assert abs(model.stddev - exp_std) < 1e-9
+
+
+def test_conditional_scale_array_per_element(spark):
+    """Reference parity: conditional scaling over an ARRAY input fits
+    per-element moments (conditional_standard_scale.py:398-540), for
+    both standard and binary modes."""
+    import numpy as np
+
+    rows = [
+        ([1.0, 10.0], 1.0, [1.0, 0.0]),
+        ([2.0, 20.0], 0.0, [1.0, 1.0]),
+        ([3.0, 30.0], 1.0, [0.0, 1.0]),
+        ([4.0, 40.0], 0.0, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "v array<double>, rel double, b array<double>"
+    )
+    got = (
+        ConditionalStandardScaleEstimator(input_col="v", output_col="z")
+        .fit(df).transform(df).orderBy(F.element_at("v", 1)).toPandas()
+    )
+    V = np.array([r[0] for r in rows])
+    exp = (V - V.mean(axis=0)) / V.std(axis=0)
+    np.testing.assert_allclose(np.stack(got["z"].map(np.asarray)), exp, atol=1e-12)
+
+    gotb = (
+        ConditionalStandardScaleEstimator(
+            input_col="b", output_col="zb", scaling="binary", relevance_col="rel"
+        )
+        .fit(df).transform(df).orderBy(F.element_at("v", 1)).toPandas()
+    )
+    B = np.array([r[2] for r in rows])
+    rel = np.array([r[1] for r in rows]) > 0
+    n = (B == 1.0).sum(axis=0).astype(float)
+    f = ((B == 1.0) & rel[:, None]).sum(axis=0).astype(float)
+    p = f / n
+    mean = 1.0 - p
+    std = np.sqrt((f * (1 - p) ** 2 + (n - f) * p**2) / (n - 1))
+    np.testing.assert_allclose(
+        np.stack(gotb["zb"].map(np.asarray)), (B - mean) / std, atol=1e-12
+    )

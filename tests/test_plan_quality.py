@@ -114,3 +114,46 @@ def test_rowwise_ops_stay_in_codegen(spark, scalar_features):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("WholeStageCodegen") <= 2, plan
+
+
+def test_bucketize_and_math2_chain_stays_codegen(spark, scalar_features):
+    """The round-2 rowwise additions (Bucketize + logical + floormod)
+    must fuse into whole-stage codegen with no Exchange and no Python."""
+    from kamae_spark.operators.conditional import Bucketize, NumericalIfStatement
+    from kamae_spark.operators.math import LogicalAnd, LogicalNot, Modulo
+
+    model = PipelineModel(
+        [
+            Bucketize(input_col="col1", output_col="b", splits=[2.0, 5.0]),
+            Modulo(input_cols=["col1"], output_col="m", constant=-3.0),
+            NumericalIfStatement(
+                input_cols=["col1"], output_col="hi", condition_operator="gt",
+                value_to_compare_constant=2.0,
+                result_if_true_constant=True, result_if_false_constant=False,
+            ),
+            LogicalNot(input_col="hi", output_col="lo"),
+            LogicalAnd(input_cols=["hi", "lo"], output_col="never"),
+        ]
+    )
+    plan = _executed(model.transform(scalar_features))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # codegen'd operators render with the `*(n)` stage marker
+    assert "*(1)" in plan, plan
+
+
+def test_ivf_corpus_side_is_one_arrow_pass(spark):
+    """IVF assignment must be a single ArrowEvalPython over the corpus
+    scan — no per-centroid expression blowup, no corpus shuffle before
+    bucketing."""
+    from kamae_spark.data.similarity import ivf_topk
+    from kamae_spark.sources.synth import embeddings_table
+
+    emb = embeddings_table(spark, 300, dim=16, n_clusters=8).cache()
+    emb.count()
+    q = emb.where(F.col("vec_id") < 2)
+    plan = _executed(ivf_topk(emb, q, "embedding", "vec_id", k=5,
+                              n_centroids=4, nprobe=2))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+    emb.unpersist()

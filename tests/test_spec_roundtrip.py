@@ -289,6 +289,9 @@ def test_zoo_covers_every_registered_stage(spark, tmp_path):
     concrete = {
         name for name, cls in registry.items()
         if name not in bases and not name.startswith("_")
+        # other test modules register toy stages (AddOne, ...) when the
+        # whole suite runs; only the library's own stages need coverage
+        and cls.__module__.startswith("kamae_spark")
     }
     missing = concrete - covered
     assert not missing, f"stages without round-trip coverage: {sorted(missing)}"
