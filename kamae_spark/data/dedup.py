@@ -384,10 +384,28 @@ def _cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hyperplane_bits_udf(dim: int, n_bits: int = 8, seed: int = 42):
+    """Arrow-vectorized random-hyperplane LSH key: one numpy matmul per
+    batch against a seeded (n_bits, dim) hyperplane matrix captured in
+    the closure. This is the scale path — the pure-expr variant below
+    evaluates n_bits x dim INTERPRETED lambda steps per row (the same
+    trap the IVF assignment had)."""
+    rng = np.random.RandomState(seed)
+    W = rng.randn(n_bits, dim)
+    powers = 1 << np.arange(n_bits, dtype=np.int64)
+
+    def bits(s):
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        return pd.Series(((M @ W.T >= 0).astype(np.int64) @ powers))
+
+    return pandas_udf(bits, "long", functionType=200)
+
+
 def hyperplane_bits(vec: Column, dim: int, n_bits: int = 8, seed: int = 42) -> Column:
     """Deterministic random-hyperplane LSH key: sign bits of dot products
     with pseudo-random (hash-derived) hyperplanes — pure expr, no model
-    state to broadcast."""
+    state to broadcast. NOTE: interpreted per element; prefer
+    hyperplane_bits_udf in hot paths (kept for UDF-free contexts)."""
     def bit(b: int) -> Column:
         dot = F.aggregate(
             F.zip_with(
@@ -440,7 +458,7 @@ def embedding_neardup_pairs(
     sel = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        hyperplane_bits(F.col(vec_col), dim, n_bits, seed).alias("__bkt"),
+        hyperplane_bits_udf(dim, n_bits, seed)(F.col(vec_col)).alias("__bkt"),
     )
     pairs = (
         sel.alias("x")
