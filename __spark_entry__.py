@@ -1432,6 +1432,38 @@ FROM events
 """
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (multimodal §: one row per sampled
+    frame; decode stubbed, the explode/row-multiplication shape is what
+    matters at scale). Fully oracled: the schedule is pure arithmetic."""
+    from kamae_spark.data.multimodal import frame_sample_plan, synthesize_assets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assets = synthesize_assets(d, "doc_id", "text")
+    return frame_sample_plan(assets, every_ms=1000).select(
+        "asset_id", "frame_idx", "frame_ts_ms"
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id,
+         cast((doc_id % 30000) + 1000 AS int) AS duration_ms
+  FROM documents
+  WHERE cast(doc_id % 3 AS int) = 2  -- kind = 'video'
+)
+SELECT asset_id,
+       cast(f AS int) AS frame_idx,
+       cast(f AS int) * 1000 AS frame_ts_ms
+FROM (
+  SELECT asset_id, duration_ms,
+         unnest(range(0, cast(floor(duration_ms / 1000) AS int) + 1)) AS f
+  FROM v
+)
+WHERE cast(f AS int) * 1000 <= duration_ms
+"""
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming job: file-source readStream over the
     events parquet -> session_window aggregation -> availableNow trigger
@@ -1601,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pandas_fn": _q_pandas_fn,
         "pipeline_roundtrip": _q_pipeline_roundtrip,
         "streaming_sessions": _q_streaming_sessions,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -1637,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "pandas_fn": _PANDAS_FN_SQL,
         "pipeline_roundtrip": _ENCODERS_SQL,
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
         # minhash_lsh / simhash_pairs / ivf_topk are intentionally
         # oracle-less: hash-engine-specific or approximate by design
         # (driver records rows-only checks)

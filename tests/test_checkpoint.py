@@ -101,3 +101,28 @@ def test_repartition_salted_balances_hot_keys(spark):
     ]
     assert len(sizes) == 8
     assert max(sizes) < 11000 * 0.5  # hot key no longer on one partition
+
+
+def test_read_write_table_parquet_roundtrip(spark, tmp_path):
+    from kamae_spark.sources.io import read_table, write_table
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    )
+    p = str(tmp_path / "t")
+    write_table(df, p, partition_by=("k",), mode="overwrite")
+    back = read_table(spark, p)
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "k"}
+    # partition layout on disk
+    import os
+    assert any(d.startswith("k=") for d in os.listdir(p))
+
+
+def test_read_table_time_travel_requires_iceberg(spark):
+    import pytest
+
+    from kamae_spark.sources.io import read_table
+
+    with pytest.raises(ValueError, match="time travel"):
+        read_table(spark, "/nonexistent", fmt="parquet", snapshot_id=1)
