@@ -153,38 +153,100 @@ def minhash_signatures(
     return _signatures_from_grams(gsel, num_perm)
 
 
-def _bucket_pairs(band: DataFrame, payload: Sequence[str] = ()) -> DataFrame:
+def _bucket_pairs(
+    band: DataFrame, payload: Sequence[str] = (), chunk_cap: int | None = 4096
+) -> DataFrame:
     """(id_a, id_b[, payload_a/b]) candidate pairs from a (band, bucket)
-    keyed table: ONE shuffle (groupBy) + in-bucket pair explosion —
-    measured ~2x faster than the equivalent self-join, which shuffles
-    and sorts the band table twice. Buckets are collected per group, so
-    a pathological mega-bucket lands on one task (k^2 pairs); band/bit
-    counts are sized upstream precisely to keep expected bucket
-    occupancy small — if a corpus still produces mega-buckets, the fix
-    is more selective banding, not a different join strategy (the
-    self-join pays the same k^2, just spread out)."""
-    item = F.struct(F.col("__id"), *[F.col(c) for c in payload])
-    g = (
-        band.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(item)).alias("items"))
-        .where(F.size("items") > 1)
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda a, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
+    keyed table via groupBy + in-bucket pair explosion — measured ~2x
+    faster than the equivalent self-join, which shuffles and sorts the
+    band table twice.
+
+    Mega-bucket guard: real corpora have adversarial buckets (empty
+    strings, boilerplate headers, near-constant embeddings) where one
+    bucket holds 10^5+ rows — collecting it to a single task is k^2
+    pairs on one executor, an OOM not a slowdown. Buckets larger than
+    ``chunk_cap`` are therefore split into hash chunks and every chunk
+    PAIR becomes its own task: a row in chunk c is replicated to tasks
+    {(min(c,o), max(c,o)) : o < nchunks}, so each task holds at most
+    ~2*chunk_cap rows and the full pair set is still emitted — nothing
+    is dropped (no silent caps). The k^2 COMPUTE for a mega-bucket is
+    inherent to emitting its pairs; the guard bounds per-task memory
+    and spreads the work across the cluster. ``chunk_cap=None``
+    restores the single-pass unchunked plan (one fewer shuffle) for
+    corpora known to be well-bucketed.
+    """
+    from pyspark.sql import Window
+
+    item_fields = [F.col("__id"), *[F.col(c) for c in payload]]
+    if chunk_cap is None:
+        item = F.struct(*item_fields)
+        g = (
+            band.groupBy("band", "bucket")
+            .agg(F.array_sort(F.collect_list(item)).alias("items"))
+            .where(F.size("items") > 1)
         )
-    )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+    else:
+        w = Window.partitionBy("band", "bucket")
+        nchunks = F.greatest(
+            F.lit(1), F.ceil(F.count("*").over(w) / F.lit(int(chunk_cap)))
+        ).cast("int")
+        b2 = band.select("band", "bucket", *item_fields, nchunks.alias("__nc"))
+        chunk = F.pmod(F.xxhash64(F.col("__id")), F.col("__nc")).cast("int")
+        repl = b2.select(
+            "band", "bucket", chunk.alias("__c"), *item_fields,
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__o"),
+        )
+        item = F.struct(F.col("__c"), *item_fields)
+        g = (
+            repl.groupBy(
+                "band", "bucket",
+                F.least("__c", "__o").alias("__t1"),
+                F.greatest("__c", "__o").alias("__t2"),
+            )
+            .agg(F.array_sort(F.collect_list(item)).alias("items"))
+            .where(F.size("items") > 1)
+        )
+        within = F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+        lo = F.filter(F.col("items"), lambda x: x["__c"] == F.col("__t1"))
+        hi = F.filter(F.col("items"), lambda x: x["__c"] == F.col("__t2"))
+        cross = F.flatten(
+            F.transform(
+                lo,
+                lambda a: F.transform(
+                    hi,
+                    lambda b: F.when(
+                        a["__id"] <= b["__id"], F.struct(a.alias("a"), b.alias("b"))
+                    ).otherwise(F.struct(b.alias("a"), a.alias("b"))),
+                ),
+            )
+        )
+        pair_structs = F.when(F.col("__t1") == F.col("__t2"), within).otherwise(cross)
     out = g.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.a.__id").alias("id_a"),
         F.col("p.b.__id").alias("id_b"),
         *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in payload],
         *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in payload],
     )
-    return out.distinct()
+    # pairing by array position can emit (x, x) when the id column has
+    # duplicate values; the self-join contract was strict id_a < id_b
+    return out.where(F.col("id_a") != F.col("id_b")).distinct()
 
 
 def minhash_band_plan(num_perm: int, threshold: float) -> int:
@@ -209,39 +271,39 @@ def minhash_band_plan(num_perm: int, threshold: float) -> int:
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     n: int = 3, num_perm: int = 64, bands: int | None = None,
-    threshold: float = 0.5, tokenizer: str = "char", cache_grams: bool = True,
+    threshold: float = 0.5, tokenizer: str = "char",
+    chunk_cap: int | None = 4096, broadcast_cand_rows: int = 1_000_000,
 ) -> DataFrame:
-    """shingle -> minhash -> band -> bucket-join -> exact-jaccard verify.
+    """shingle -> minhash -> band -> bucket pair-gen -> exact-jaccard
+    verify, re-shingling ONLY the candidate docs.
 
-    Shuffle profile: (1) explode to (band_id, band_hash) — rows x bands,
-    tiny payload; (2) self-join per bucket; (3) verify with the original
-    gram sets (joined back by id). Candidate volume is governed by
-    bands/rows-per-band: P(collide) = 1-(1-j^r)^b; by default ``bands``
-    is solved from (num_perm, threshold) via minhash_band_plan so the
-    S-curve inflection tracks the verify threshold instead of a fixed
-    constant that over- or under-generates candidates as thresholds
-    change."""
+    Shuffle profile: (1) explode grams -> per-perm min agg (signatures);
+    (2) banded bucket pair generation (_bucket_pairs — one groupBy, plus
+    a window pass when the mega-bucket guard is on); (3) verify join
+    against grams RE-DERIVED for just the candidate ids. The candidate
+    set is materialized eagerly (localCheckpoint: it is small by LSH
+    design and consumed twice — id extraction + verify join) so nothing
+    stays persisted after the call returns, and the corpus-wide gram
+    table is never cached NOR shuffled: when the candidate id set is
+    small (< ``broadcast_cand_rows`` pairs) the (id, text) source is
+    pruned by a BROADCAST semi join before re-shingling, so the verify
+    join touches gram arrays for candidate docs only. Candidate volume
+    is governed by bands/rows-per-band: P(collide) = 1-(1-j^r)^b; by
+    default ``bands`` is solved from (num_perm, threshold) via
+    minhash_band_plan so the S-curve inflection tracks the verify
+    threshold."""
     if bands is None:
         bands = minhash_band_plan(num_perm, threshold)
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    # shingle construction is the expensive interpreted-HOF step and is
-    # needed THREE times (signatures + both sides of the verify join);
-    # persist the gram table so it runs once (at real cluster scale the
-    # analogue is materializing grams/signatures to a temp table)
-    gsel = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), n, tokenizer).alias("__g")
-    )
-    if cache_grams:
-        gsel = gsel.persist()
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    gsel = src.select("__id", shingles(F.col("__t"), n, tokenizer).alias("__g"))
     base = _signatures_from_grams(gsel, num_perm)
     # band keys as plain multi-arg xxhash64 over element_at projections:
     # whole-stage codegen, vs the previous transform/slice/concat_ws
     # chain that Spark INTERPRETS per band per row (6.5s -> <1s at 500k
-    # docs). The band table is persisted because the candidate self-join
-    # consumes it twice — without it each side re-derives signatures +
-    # banding from scratch (this was 26 of the 29 seconds).
+    # docs)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -257,10 +319,26 @@ def minhash_lsh_pairs(
     band = base.select(
         "__id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _bucket_pairs(band)
+    # eager, lineage-truncating materialization: consumed twice below;
+    # recomputing it would re-derive signatures + banding end-to-end
+    # (measured 26s of a 29s run before round 2), and persist() would
+    # leak cached blocks past the call in a long-lived session
+    cand = _bucket_pairs(band, chunk_cap=chunk_cap).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    if 2 * n_cand <= broadcast_cand_rows:
+        cand_ids = F.broadcast(cand_ids)
+    pruned = src.join(cand_ids, "__id", "left_semi")
+    gsub = pruned.select(
+        "__id", shingles(F.col("__t"), n, tokenizer).alias("__g")
+    )
     verified = (
-        cand.join(gsel.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
-        .join(gsel.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
+        cand.join(gsub.withColumnRenamed("__id", "id_a").withColumnRenamed("__g", "__ga"), "id_a")
+        .join(gsub.withColumnRenamed("__id", "id_b").withColumnRenamed("__g", "__gb"), "id_b")
         .select(
             "id_a", "id_b",
             (F.size(F.array_intersect("__ga", "__gb")).cast("double")
@@ -453,6 +531,7 @@ def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str,
     threshold: float = 0.95, n_bits: int | None = None, seed: int = 42,
     target_bucket_rows: int = 128, dim: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs, candidate-limited to equal LSH sign-bit
     buckets (high-threshold near-dups almost surely share all sign bits).
@@ -461,19 +540,25 @@ def embedding_neardup_pairs(
     bucket count leaves quadratic mega-buckets once the corpus outgrows
     it, so the bucket count scales with the corpus to hold expected
     occupancy (and the per-bucket quadratic term) roughly constant.
-    Pass ``dim`` to skip the dimension-probe job (one row read)."""
+    Pass ``dim`` to skip the dimension-probe job (one row read) and
+    ``n_rows`` (approximate is fine — only log2 matters) to skip the
+    sizing count job. Null vectors are excluded up front (a null can
+    match nothing; the Arrow bucketing/rescoring batches require dense
+    rows). Candidate verification is an Arrow-batched numpy cosine, not
+    the interpreted Column fold — at corpus scale the verify runs over
+    every candidate pair and dominates."""
     import math
 
+    from kamae_spark.data.similarity import cosine_pairs_udf
+
+    df = df.where(F.col(vec_col).isNotNull())
     if dim is None:
-        dim_row = (
-            df.select(F.size(vec_col).alias("d"))
-            .where(F.col(vec_col).isNotNull()).limit(1).first()
-        )
+        dim_row = df.select(F.size(vec_col).alias("d")).limit(1).first()
         if dim_row is None:
             raise ValueError(f"cannot infer array dim of empty column {vec_col}")
         dim = int(dim_row["d"])
     if n_bits is None:
-        n = df.count()
+        n = df.count() if n_rows is None else int(n_rows)
         n_bits = min(max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows))), 24)
     sel = df.select(
         F.col(id_col).alias("__id"),
@@ -486,7 +571,7 @@ def embedding_neardup_pairs(
               (F.col("x.__bkt") == F.col("y.__bkt")) & (F.col("x.__id") < F.col("y.__id")))
         .select(
             F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
-            _cosine(F.col("x.__v"), F.col("y.__v")).alias("cosine"),
+            cosine_pairs_udf()(F.col("x.__v"), F.col("y.__v")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -17,6 +17,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cosine_pairs_udf():
+    """Arrow-vectorized pairwise cosine: one numpy matmul-shaped pass per
+    batch over two aligned array columns. This is the SCALE path for
+    candidate rescoring (IVF top-k, embedding near-dup verify): the
+    pure-Column ``cosine`` below folds ``F.aggregate``/``zip_with``
+    lambdas that Spark INTERPRETS per element — ~50x slower per row at
+    corpus scale (measured for the same trap in dedup.py minhash).
+
+    Null rows must be filtered upstream (np.stack raises on None);
+    callers own that filter so the null policy stays visible in the
+    plan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dots / np.maximum(na * nb, 1e-300))
+
+    return pandas_udf(cos, "double", functionType=200)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
@@ -81,6 +107,10 @@ def fit_centroids(
         .limit(int(sample_rows))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"cannot fit centroids: column {vec_col!r} has no non-null vectors"
+        )
     X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(int(n_centroids), len(X))
@@ -141,11 +171,21 @@ def _bucket_udfs(cents):
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+    vectorized_rescore: bool = True,
 ) -> DataFrame:
     """IVF-bucketed ANN: seeded spherical-k-means centroids (fit on a
     bounded driver sample), numpy-matmul Arrow assignment, bucket-pruned
     search: each query scans only its `nprobe` closest buckets
-    (~nprobe/K of the corpus)."""
+    (~nprobe/K of the corpus).
+
+    Candidate RESCORING (corpus x nprobe/K rows — the true hot loop) is
+    an Arrow-batched numpy pass by default; ``vectorized_rescore=False``
+    falls back to the pure-Column fold (interpreted per element — only
+    for environments where the Python worker is unavailable). Null
+    vectors on either side are excluded up front (they can match
+    nothing and would poison the Arrow batches)."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
+    queries = queries.where(F.col(vec_col).isNotNull())
     cents = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
     assign1, topn = _bucket_udfs(cents)
 
@@ -159,12 +199,16 @@ def ivf_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(topn(nprobe)(F.col(vec_col))).alias("bucket"),
     )
+    if vectorized_rescore:
+        score = cosine_pairs_udf()(F.col("__qv"), F.col("__cv"))
+    else:
+        score = cosine(F.col("__qv"), F.col("__cv"))
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+            F.round(score, 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -37,13 +37,28 @@ from kamae_spark.core.stage import Estimator, keyword_params
 from kamae_spark.functions.arrays import flatten_nested
 from kamae_spark.operators.rowwise import ElementwiseTransform
 
+# Above this vocab size the literal map_from_arrays lookup stops being
+# free: the whole vocab is embedded in the PLAN of every stage (multi-MB
+# plans, analyzer cost per query) — switch scalar columns to a broadcast
+# hash join against a vocab DataFrame instead (same layout, same OOV
+# hashing; the join build side ships once per executor, not per plan).
+VOCAB_JOIN_THRESHOLD = 65536
+
+# Default fit-side vocab bound: `collect_labels` materializes the vocab
+# on the driver, so an UNBOUNDED distinct over 100 TB of text (10^7+
+# tokens) is a driver OOM waiting to happen. Estimators default to this
+# explicit cap (lowest-frequency / alphabetically-last labels beyond it
+# become OOV); pass max_num_labels=None to opt into unbounded collection
+# for columns known to be low-cardinality.
+DEFAULT_MAX_LABELS = 1_000_000
+
 
 def collect_labels(
     df: DataFrame,
     cols: Sequence[str],
     order: str = "frequencyDesc",
     mask_token: str | None = None,
-    max_num_labels: int | None = None,
+    max_num_labels: int | None = DEFAULT_MAX_LABELS,
 ) -> list[str]:
     """Distributed vocab collection over one or more (possibly nested
     array) string columns. Only the final (bounded) vocab reaches the
@@ -102,7 +117,17 @@ def index_expr(x: Column, labels: Sequence[str], mask_token: str | None,
 
 
 class StringIndexTransformer(ElementwiseTransform):
-    """Fitted vocab lookup (see module docstring for index layout)."""
+    """Fitted vocab lookup (see module docstring for index layout).
+
+    Big-vocab path: when the vocab exceeds ``vocab_join_threshold``,
+    scalar string columns switch from the literal-map expression to a
+    BROADCAST HASH JOIN against a (label, index) vocab DataFrame —
+    identical layout and OOV hashing (the OOV bucket is computed from
+    the input column JVM-side either way), but the vocab ships once per
+    executor instead of being inlined into every plan. Nested array
+    columns keep the literal-map path (a join would need explode +
+    re-assembly); bound their vocabs with max_num_labels at fit time.
+    """
 
     compatible_dtypes = ("string",)
 
@@ -110,6 +135,7 @@ class StringIndexTransformer(ElementwiseTransform):
     def __init__(self, input_col: str, output_col: str,
                  labels: Sequence[str] = (), mask_token: str | None = None,
                  num_oov_indices: int = 1,
+                 vocab_join_threshold: int = VOCAB_JOIN_THRESHOLD,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
@@ -119,6 +145,64 @@ class StringIndexTransformer(ElementwiseTransform):
     def fn(self, x: Column) -> Column:
         return self._index_expr(x)
 
+    # -- broadcast-join lookup (big vocab, scalar columns) -----------------
+    def _col_pairs(self) -> list[tuple[str, str]]:
+        return [(self.input_col, self.output_col)]
+
+    def _join_cols(self, df: DataFrame) -> set[str]:
+        threshold = getattr(self, "vocab_join_threshold", None) or VOCAB_JOIN_THRESHOLD
+        if len(self.labels) <= threshold:
+            return set()
+        return {c for c in self.input_columns if column_info(df, c)[0] == 0}
+
+    def build(self, df: DataFrame):
+        if self._join_cols(df):
+            return None  # pipeline falls back to transform()
+        return super().build(df)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        join_cols = self._join_cols(df)
+        if not join_cols:
+            return super().transform(df)
+        self._validate(df)
+        for in_c, out_c in self._col_pairs():
+            if in_c in join_cols:
+                df = self._join_lookup(df, in_c, out_c)
+            else:
+                from kamae_spark.functions.arrays import elementwise
+
+                expr, _ = elementwise(df, [in_c], self._index_expr)
+                df = df.select("*", expr.alias(out_c))
+        return df
+
+    def _join_lookup(self, df: DataFrame, in_c: str, out_c: str) -> DataFrame:
+        import pandas as pd
+
+        spark = df.sparkSession
+        start = 1 if self.mask_token is not None else 0
+        offset = start + self.num_oov_indices
+        vocab = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "__label": list(self.labels),
+                    "__vidx": pd.array(
+                        range(offset, offset + len(self.labels)), dtype="int32"
+                    ),
+                }
+            )
+        )
+        x = self._in(df, in_c)
+        joined = df.join(F.broadcast(vocab), x == F.col("__label"), "left")
+        if self.num_oov_indices > 0:
+            oov = (F.pmod(F.xxhash64(x), F.lit(self.num_oov_indices)) + start).cast("int")
+            expr = F.coalesce(F.col("__vidx").cast("int"), oov)
+            expr = F.when(x.isNull(), F.lit(0)).otherwise(expr)
+        else:
+            expr = F.col("__vidx").cast("int")  # unseen/null -> null
+        if self.mask_token is not None:
+            expr = F.when(x == F.lit(self.mask_token), F.lit(0)).otherwise(expr)
+        return joined.select(*df.columns, self._out(df, expr.cast("int")).alias(out_c))
+
 
 class StringIndexEstimator(Estimator):
     """Fit an ordered vocab (reference estimators/string_index.py:104-136)."""
@@ -127,7 +211,7 @@ class StringIndexEstimator(Estimator):
     def __init__(self, input_col: str, output_col: str,
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
-                 max_num_labels: int | None = None,
+                 max_num_labels: int | None = DEFAULT_MAX_LABELS,
                  sample_fraction: float | None = None, seed: int = 42,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
@@ -153,7 +237,7 @@ class SharedStringIndexEstimator(Estimator):
     def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
-                 max_num_labels: int | None = None,
+                 max_num_labels: int | None = DEFAULT_MAX_LABELS,
                  sample_fraction: float | None = None, seed: int = 42):
         if len(input_cols) != len(output_cols):
             raise ValueError("input_cols and output_cols must align")
@@ -171,7 +255,9 @@ class SharedStringIndexEstimator(Estimator):
 
 
 class SharedStringIndexTransformer(StringIndexTransformer):
-    """Applies the shared vocab to each input column independently."""
+    """Applies the shared vocab to each input column independently
+    (scalar columns take the broadcast-join path past the vocab
+    threshold, same as StringIndexTransformer)."""
 
     @keyword_params
     def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
@@ -179,7 +265,12 @@ class SharedStringIndexTransformer(StringIndexTransformer):
                  num_oov_indices: int = 1):
         pass
 
+    def _col_pairs(self) -> list[tuple[str, str]]:
+        return list(zip(self.input_cols, self.output_cols))
+
     def build(self, df: DataFrame):
+        if self._join_cols(df):
+            return None  # pipeline falls back to transform()
         from kamae_spark.functions.arrays import elementwise
 
         out = {}
@@ -246,7 +337,7 @@ class SharedOneHotEncodeEstimator(Estimator):
     def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
-                 drop_unseen: bool = False, max_num_labels: int | None = None,
+                 drop_unseen: bool = False, max_num_labels: int | None = DEFAULT_MAX_LABELS,
                  sample_fraction: float | None = None, seed: int = 42):
         if len(input_cols) != len(output_cols):
             raise ValueError("input_cols and output_cols must align")
@@ -270,7 +361,7 @@ class OneHotEncodeEstimator(Estimator):
     def __init__(self, input_col: str, output_col: str,
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
-                 drop_unseen: bool = False, max_num_labels: int | None = None,
+                 drop_unseen: bool = False, max_num_labels: int | None = DEFAULT_MAX_LABELS,
                  sample_fraction: float | None = None, seed: int = 42):
         pass
 

@@ -126,3 +126,18 @@ def test_read_table_time_travel_requires_iceberg(spark):
 
     with pytest.raises(ValueError, match="time travel"):
         read_table(spark, "/nonexistent", fmt="parquet", snapshot_id=1)
+
+
+def test_repartition_salted_skips_map_columns(spark):
+    """xxhash64 cannot hash map columns; the default salt subset must
+    exclude them (and salt_cols lets callers pick the subset)."""
+    from kamae_spark.sources.io import repartition_salted
+
+    df = spark.createDataFrame(
+        [(1, "a", {"k": "v"}), (2, "b", {"k": "w"})],
+        "id long, conv_id string, meta map<string,string>",
+    )
+    out = repartition_salted(df, "conv_id", 4, salt=2)
+    assert out.count() == 2
+    out2 = repartition_salted(df, "conv_id", 4, salt=2, salt_cols=["id"])
+    assert out2.count() == 2

@@ -247,3 +247,118 @@ def test_frame_sample_plan(documents):
     assert (plan["frame_ts_ms"] % 5000 == 0).all()
     vids = assets.where("kind = 'video'").count()
     assert plan["asset_id"].nunique() == vids
+
+
+# ---------------------------------------------------------------------------
+# round 3: mega-bucket chunking, null safety, vectorized rescoring
+# ---------------------------------------------------------------------------
+
+def test_bucket_pairs_chunked_equals_unchunked(spark):
+    """The chunked mega-bucket guard must emit EXACTLY the same pair set
+    as the single-task collect (nothing dropped, nothing duplicated),
+    including buckets far above the cap."""
+    from kamae_spark.data.dedup import _bucket_pairs
+
+    rows = []
+    # bucket 0: 83 items (>> cap of 10); bucket 1: 7 items; singleton bucket
+    for i in range(83):
+        rows.append((i, 0, 100))
+    for i in range(83, 90):
+        rows.append((i, 0, 200))
+    rows.append((999, 1, 300))
+    band = spark.createDataFrame(rows, "__id long, band int, bucket long")
+    exact = _bucket_pairs(band, chunk_cap=None).toPandas()
+    chunked = _bucket_pairs(band, chunk_cap=10).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    # normalize order for comparison (chunked normalizes cross pairs by id)
+    chunk_pairs = {tuple(sorted(p)) for p in zip(chunked["id_a"], chunked["id_b"])}
+    assert {tuple(sorted(p)) for p in exact_pairs} == chunk_pairs
+    assert len(chunk_pairs) == 83 * 82 // 2 + 7 * 6 // 2
+
+
+def test_bucket_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate id values in one bucket must not produce (x, x) pairs
+    (the old self-join contract was strict id_a < id_b)."""
+    from kamae_spark.data.dedup import _bucket_pairs
+
+    band = spark.createDataFrame(
+        [(7, 0, 100), (7, 0, 100), (8, 0, 100)], "__id long, band int, bucket long"
+    )
+    for cap in (None, 2):
+        got = _bucket_pairs(band, chunk_cap=cap).toPandas()
+        assert not (got["id_a"] == got["id_b"]).any()
+        assert set(zip(got["id_a"], got["id_b"])) == {(7, 8)}
+
+
+def test_minhash_adversarial_identical_docs(spark):
+    """An all-identical corpus = one mega-bucket per band. The chunk
+    guard must bound per-task state while still emitting every pair."""
+    n = 120
+    df = spark.createDataFrame(
+        [(i, "exactly the same boilerplate header text") for i in range(n)],
+        "id long, text string",
+    )
+    got = minhash_lsh_pairs(
+        df, "text", "id", num_perm=16, bands=4, threshold=0.9, chunk_cap=16
+    ).toPandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["jaccard"] == 1.0).all()
+
+
+def test_embedding_neardup_null_rows(spark):
+    """Null embedding rows must be ignored, not crash the Arrow UDFs."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = embedding_neardup_pairs(df, "vec", "id", threshold=0.99, n_bits=4).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+
+
+def test_ivf_topk_null_rows(spark):
+    """Null vectors on either side are excluded up front."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(8).tolist()) for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 3)
+    got = ivf_topk(df, q, "embedding", "vec_id", k=5, n_centroids=4, nprobe=4).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}
+    assert 99 not in set(got["neighbor_id"])
+
+
+def test_fit_centroids_empty_corpus_raises(spark):
+    from kamae_spark.data.similarity import fit_centroids
+
+    df = spark.createDataFrame([(1, None)], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        fit_centroids(df, "vec", 4)
+
+
+def test_vectorized_cosine_matches_column_fold(spark):
+    """Arrow-batched numpy cosine == interpreted Column fold (1e-12)."""
+    import numpy as np
+
+    from kamae_spark.data.similarity import cosine, cosine_pairs_udf
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist(), rng.randn(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = df.select(
+        cosine(F.col("a"), F.col("b")).alias("fold"),
+        cosine_pairs_udf()(F.col("a"), F.col("b")).alias("vec"),
+    ).toPandas()
+    assert np.allclose(got["fold"], got["vec"], atol=1e-12)
+
+
+def test_ivf_vectorized_rescore_matches_fold_path(embeddings):
+    """The vectorized rescoring must rank identically to the fold path."""
+    q = embeddings.where(F.col("vec_id") < 4)
+    a = ivf_topk(embeddings, q, "embedding", "vec_id", k=5, n_centroids=8,
+                 nprobe=8, vectorized_rescore=True).toPandas()
+    b = ivf_topk(embeddings, q, "embedding", "vec_id", k=5, n_centroids=8,
+                 nprobe=8, vectorized_rescore=False).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert np.allclose(a["score"], b["score"], atol=1e-6)

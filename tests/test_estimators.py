@@ -270,3 +270,71 @@ def test_conditional_scale_array_per_element(spark):
     np.testing.assert_allclose(
         np.stack(gotb["zb"].map(np.asarray)), (B - mean) / std, atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: big-vocab broadcast-join lookup path
+# ---------------------------------------------------------------------------
+
+def test_big_vocab_broadcast_join_path(spark):
+    """Past the vocab threshold the scalar lookup must be a broadcast
+    hash join (no million-entry literal map in the plan) with the exact
+    same index layout as the literal path."""
+    from kamae_spark.operators.indexers import StringIndexTransformer
+
+    n = 1_000_000
+    labels = [f"tok{i:07d}" for i in range(n)]
+    t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels,
+        mask_token="<mask>", num_oov_indices=2,
+    )
+    df = spark.createDataFrame(
+        [("tok0000000",), ("tok0999999",), ("UNSEEN",), (None,), ("<mask>",)],
+        "w string",
+    )
+    out = t.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["w"]: r["idx"] for r in out.collect()}
+    # layout: mask->0, OOV in [1, 2], vocab from 3
+    assert got["tok0000000"] == 3
+    assert got["tok0999999"] == 3 + n - 1
+    assert got["<mask>"] == 0
+    assert got[None] == 0
+    assert got["UNSEEN"] in (1, 2)
+
+    # small-vocab literal path produces the identical layout
+    small = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels[:10],
+        mask_token="<mask>", num_oov_indices=2,
+    )
+    big_forced = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels[:10],
+        mask_token="<mask>", num_oov_indices=2, vocab_join_threshold=4,
+    )
+    df2 = spark.createDataFrame(
+        [("tok0000003",), ("nope",), (None,), ("<mask>",)], "w string"
+    )
+    lit_rows = {r["w"]: r["idx"] for r in small.transform(df2).collect()}
+    join_rows = {r["w"]: r["idx"] for r in big_forced.transform(df2).collect()}
+    assert lit_rows == join_rows
+
+
+def test_shared_big_vocab_join_path(spark):
+    """SharedStringIndexTransformer takes the join path per scalar col."""
+    from kamae_spark.operators.indexers import SharedStringIndexTransformer
+
+    labels = [f"w{i}" for i in range(50)]
+    t = SharedStringIndexTransformer(
+        input_cols=["a", "b"], output_cols=["ia", "ib"], labels=labels,
+        num_oov_indices=1,
+    )
+    t.vocab_join_threshold = 10  # force join path
+    df = spark.createDataFrame([("w0", "w49"), ("w5", "zz")], "a string, b string")
+    out = t.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = out.orderBy("a").collect()
+    assert [r["ia"] for r in rows] == [1, 6]
+    assert rows[0]["ib"] == 50
+    assert rows[1]["ib"] == 0  # OOV with 1 oov index, no mask -> 0

@@ -157,3 +157,20 @@ def test_ivf_corpus_side_is_one_arrow_pass(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
     emb.unpersist()
+
+
+def test_minhash_verify_join_is_candidate_pruned(spark):
+    """The verify join must NOT shuffle corpus-wide gram arrays: the
+    (id, text) source is pruned to candidate ids by a broadcast LEFT
+    SEMI join before re-shingling, so gram construction and the verify
+    join touch candidate docs only."""
+    from kamae_spark.data.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some shared text plus word{i % 3}") for i in range(60)],
+        "id long, text string",
+    )
+    out = minhash_lsh_pairs(df, "text", "id", num_perm=16, bands=4, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
