@@ -691,36 +691,131 @@ WHERE round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, length(a.v) + 1)])
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic near-dup pairs; xxhash64-based so no cross-engine
-    oracle exists -> rows-only check (intentional). Word-bigram shingles:
-    the synthetic docs draw from a ~40-word vocabulary, so char-gram sets
-    saturate and would match every pair; selective banding (8 rows/band)
-    keeps candidates to genuinely similar pairs."""
+    """Full minhash->band->bucket->verify machinery, FULLY ORACLED.
+
+    With one row per band (bands == num_perm) a pair collides whenever
+    any of the 64 minhash values agree — miss probability (1-j)^64 <
+    1e-25 at j >= 0.6 — and the exact-jaccard verify filters to the true
+    pair set, so the emitted pairs equal DuckDB's exhaustive word-bigram
+    jaccard join bit-for-bit (division of identical exact-int sizes).
+    Upgraded from the round-2 rows-only check; the selective S-curve
+    banding (the sub-quadratic production setting) stays exercised by
+    unit tests + bench.py minhash_lsh_synth."""
     from kamae_spark.data.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(
-        d, "text", "doc_id", n=2, num_perm=64, bands=8, threshold=0.6,
+        d, "text", "doc_id", n=2, num_perm=64, bands=64, threshold=0.6,
         tokenizer="word",
     )
 
 
+_MINHASH_LSH_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:least(i+1, len(words))], ' ')
+                        FOR i IN range(1, greatest(len(words)-1, 1) + 1)]) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(length(list_intersect(a.g, b.g)) AS double)
+       / length(list_distinct(list_concat(a.g, b.g))) AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE cast(length(list_intersect(a.g, b.g)) AS double)
+      / length(list_distinct(list_concat(a.g, b.g))) >= 0.6
+"""
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (pandas-UDF signature; rows-only check)."""
-    from kamae_spark.data.dedup import simhash_neardup_pairs
+    """Banded simhash near-dup machinery, FULLY ORACLED via synthetic
+    signatures both engines can construct: sig = bit-spread of the even
+    anchor doc_id, odd ids flip the low (doc_id % 11) bits. With
+    bands = max_hamming + 1 = 11 the pigeonhole guarantee makes recall
+    EXACTLY 1.0 (any pair within hamming 10 shares a band), and the
+    exact-hamming verify makes precision 1.0, so the emitted pair set
+    equals DuckDB's exhaustive popcount(xor) join. The text SimHash
+    signature itself (FNV-based Arrow UDF) is engine-specific; it is
+    executed here as a smoke gate and value-tested in unit tests
+    (tests/test_data_ops.py, tests/test_property.py)."""
+    from kamae_spark.data.dedup import _simhash64, simhash_pairs_from_sigs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
-    return simhash_neardup_pairs(toks, "toks", "doc_id", max_hamming=10)
+    # smoke-run the real text-signature UDF (values engine-specific)
+    toks = d.select(F.split(F.lower("text"), r"\s+").alias("toks")).limit(64)
+    n_sigs = toks.select(_simhash64(F.col("toks")).alias("s")).where(
+        F.col("s").isNotNull()).count()
+    if n_sigs == 0:
+        raise RuntimeError("SimHash text UDF produced no signatures")
+
+    base = F.col("doc_id") - F.col("doc_id") % 2
+    spread = base
+    for s in (10, 20, 30, 40, 50):
+        spread = spread.bitwiseXOR(F.shiftleft(base, s))
+    flip = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 11 as int)) - 1"),
+    ).otherwise(F.lit(0).cast("long"))
+    sigs = d.select("doc_id", spread.bitwiseXOR(flip).alias("sig"))
+    return simhash_pairs_from_sigs(sigs, "sig", "doc_id", max_hamming=10, bands=11)
+
+
+_SIMHASH_PAIRS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         xor(xor(xor(xor(xor(xor(b, b<<10), b<<20), b<<30), b<<40), b<<50),
+             CASE WHEN doc_id % 2 = 1
+                  THEN (CAST(1 AS BIGINT) << CAST(doc_id % 11 AS INT)) - 1
+                  ELSE CAST(0 AS BIGINT) END) AS sig
+  FROM (SELECT doc_id, doc_id - doc_id % 2 AS b FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.sig, b.sig)) AS int) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 10
+"""
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate by design; rows-only check)."""
+    """IVF machinery FULLY ORACLED by probing every bucket: with
+    nprobe == n_centroids the bucket-pruned search degenerates to an
+    exhaustive scan, so centroid fit, Arrow assignment, bucket join,
+    vectorized rescoring and ranking must together reproduce the exact
+    brute-force top-k (same oracle as ann_topk, bit-equal scores at
+    round 6). The production nprobe << K setting is exercised by
+    ivf_topk_probe (recall-gated) and bench.py ivf_topk_synth."""
     from kamae_spark.data.similarity import ivf_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 8)
-    return ivf_topk(e, q, "embedding", "vec_id", k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(e, q, "embedding", "vec_id", k=10, n_centroids=16, nprobe=16)
+
+
+def _q_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned IVF (nprobe=2 of 10 buckets) on a deterministically
+    CLUSTERED corpus (the raw testdata embeddings are uniform random —
+    nearest-neighbor structure there is noise, so bucket pruning cannot
+    and should not preserve it). Rows-only at the driver, but gated
+    in-query: recall@10 against the exact brute-force result must be
+    >= 0.9 or the query raises."""
+    from kamae_spark.data.similarity import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clustered = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.cos(F.col("label") * 7 + i)
+        + 0.25 * F.try_element_at("embedding", (i + 1).cast("int")).cast("double"),
+    )
+    c = e.select("vec_id", "label", clustered.alias("vec"))
+    q = c.where(F.col("vec_id") < 16)
+    ivf = ivf_topk(c, q, "vec", "vec_id", k=10, n_centroids=10, nprobe=2)
+    exact = brute_force_topk(c, q, "vec", "vec_id", k=10)
+    hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    recall = hits / max(total, 1)
+    if recall < 0.9:
+        raise RuntimeError(f"ivf_topk_probe recall@10 {recall:.3f} < 0.9")
+    return ivf
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1655,95 @@ def _q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_encoders_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SharedOneHotEncodeEstimator (reference
+    estimators/shared_one_hot_encode.py:117): ONE vocab fitted across
+    two string columns (lang + source), one-hot per column. With
+    num_oov_indices=1 the layout is hash-free (null and OOV both land
+    on index 0), so DuckDB can rebuild the exact arrays from a
+    frequency-desc/label-asc vocab CTE. Arrays are compared as JSON of
+    ints (float-formatting-proof)."""
+    from kamae_spark.operators.indexers import SharedOneHotEncodeEstimator
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = SharedOneHotEncodeEstimator(
+        input_cols=["lang", "source"], output_cols=["lang_oh", "source_oh"],
+        string_order_type="frequencyDesc", num_oov_indices=1,
+    ).fit(d)
+    out = model.transform(d)
+    as_json = lambda c: F.to_json(F.transform(F.col(c), lambda x: x.cast("int")))  # noqa: E731
+    return out.select(
+        "doc_id", "lang", "source",
+        as_json("lang_oh").alias("lang_oh_json"),
+        as_json("source_oh").alias("source_oh_json"),
+    )
+
+
+_ENCODERS_SHARED_SQL = """
+WITH vals AS (
+  SELECT lang AS v FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT source AS v FROM documents WHERE source IS NOT NULL
+),
+vocab AS (
+  SELECT v, cast(row_number() OVER (ORDER BY count(*) DESC, v ASC) AS int) AS idx
+  FROM vals GROUP BY v
+),
+n AS (SELECT cast(count(*) AS int) AS sz FROM vocab)
+SELECT d.doc_id, d.lang, d.source,
+       to_json([CASE WHEN coalesce(vl.idx, 0) = i THEN 1 ELSE 0 END
+                FOR i IN range(0, (SELECT sz FROM n) + 1)]) AS lang_oh_json,
+       to_json([CASE WHEN coalesce(vs.idx, 0) = i THEN 1 ELSE 0 END
+                FOR i IN range(0, (SELECT sz FROM n) + 1)]) AS source_oh_json
+FROM documents d
+LEFT JOIN vocab vl ON d.lang = vl.v
+LEFT JOIN vocab vs ON d.source = vs.v
+"""
+
+
+def _q_checkpointed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable CheckpointedFeatureWriter end-to-end (north rule:
+    killed run resumes without recomputation): run 1 'dies' after 3 of
+    8 buckets (fail_after_buckets kill hook), run 2 resumes and must
+    write ONLY the remaining 5; the read-back table is oracled against
+    plain SQL. In-query gates: resume bucket count, lineage
+    completeness, and two distinct job ids."""
+    import shutil
+
+    from kamae_spark.sources.io import CheckpointedFeatureWriter
+    from kamae_spark.operators.windows import RollingAgg
+
+    base = f"/tmp/kamae_ckpt_query_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feats = RollingAgg(
+        input_col="event_id", output_col="cum_cnt", agg="count",
+        rows=None, order_by=("ts", "event_id"), partition_by=("user_id",),
+    ).transform(e).select("event_id", "user_id", "event_type", "cum_cnt")
+
+    w = CheckpointedFeatureWriter(base, key_cols=("user_id",), n_buckets=8)
+    w.run(feats, job_id="run1", fail_after_buckets=3)
+    m2 = w.run(feats, job_id="run2")
+    if m2["buckets_written"] != 5:
+        raise RuntimeError(f"resume rewrote {m2['buckets_written']} buckets, want 5")
+    lineage = w.lineage(spark)
+    done = lineage.where(F.col("status") == "complete")
+    if done.select("bucket").distinct().count() != 8:
+        raise RuntimeError("lineage does not mark all 8 buckets complete")
+    if done.select("job_id").distinct().count() != 2:
+        raise RuntimeError("expected two job ids in lineage (kill + resume)")
+    return w.read(spark)
+
+
+_CHECKPOINTED_WRITE_SQL = """
+SELECT event_id, user_id, event_type,
+       cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS bigint) AS cum_cnt
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver entry points
 # ---------------------------------------------------------------------------
@@ -1621,6 +1805,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_probe": _q_ivf_topk_probe,
+        "encoders_shared": _q_encoders_shared,
+        "checkpointed_write": _q_checkpointed_write,
         "multimodal_features": _q_multimodal,
         "rowwise_math2": _q_rowwise_math2,
         "geo_features": _q_geo_features,
@@ -1671,7 +1858,13 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_roundtrip": _ENCODERS_SQL,
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
-        # minhash_lsh / simhash_pairs / ivf_topk are intentionally
-        # oracle-less: hash-engine-specific or approximate by design
-        # (driver records rows-only checks)
+        "minhash_lsh": _MINHASH_LSH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        # exhaustive-probe IVF must equal exact brute force -> same oracle
+        "ivf_topk": _ANN_TOPK_SQL,
+        "encoders_shared": _ENCODERS_SHARED_SQL,
+        "checkpointed_write": _CHECKPOINTED_WRITE_SQL,
+        # ivf_topk_probe is intentionally oracle-less (approximate by
+        # design; rows-only at the driver) but self-gated: the query
+        # raises unless recall@10 vs exact brute force >= 0.9
     }
