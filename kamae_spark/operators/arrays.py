@@ -161,7 +161,8 @@ class CosineSimilarity(ElementwiseTransform):
     def build(self, df: DataFrame):
         a = self._in(df, self.input_cols[0])
         b = self._in(df, self.input_cols[1])
-        return {self.output_col: self._out(df, _dot(a, b) / (_norm(a) * _norm(b)))}
+        # try_divide: a zero-norm vector yields null, not an ANSI error
+        return {self.output_col: self._out(df, F.try_divide(_dot(a, b), _norm(a) * _norm(b)))}
 
 
 class PairwiseCosineSimilarity(Transformer):

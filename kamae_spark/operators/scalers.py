@@ -19,6 +19,14 @@ from kamae_spark.functions.arrays import flatten_nested, nested_transform
 from kamae_spark.operators.rowwise import ElementwiseTransform
 
 
+def _f(x) -> float:
+    """Fit-stat conversion: a degenerate fit (all-null / empty input)
+    yields a null aggregate; carry it as NaN instead of crashing on
+    float(None) — the scaled output is then NaN, matching what the
+    reference's numpy/TF stats would propagate."""
+    return float("nan") if x is None else float(x)
+
+
 def _masked(col: Column, mask_value: float | None) -> Column:
     if mask_value is None:
         return col
@@ -56,7 +64,7 @@ class StandardScaleTransformer(ElementwiseTransform):
             m, s = F.lit(float(self.mean)), F.lit(float(self.stddev))
 
             def scale(x: Column) -> Column:
-                out = (x - m) / s
+                out = F.try_divide(x - m, s)
                 if self.mask_value is not None:
                     return F.when(x == F.lit(self.mask_value), x).otherwise(out)
                 return out
@@ -70,7 +78,7 @@ class StandardScaleTransformer(ElementwiseTransform):
 
             def scale_arr(arr: Column) -> Column:
                 def at(x: Column, i: Column) -> Column:
-                    out = (x - F.element_at(means, i + 1)) / F.element_at(stds, i + 1)
+                    out = F.try_divide(x - F.element_at(means, i + 1), F.element_at(stds, i + 1))
                     if self.mask_value is not None:
                         return F.when(x == F.lit(self.mask_value), x).otherwise(out)
                     return out
@@ -99,7 +107,7 @@ class StandardScaleEstimator(Estimator):
         if level == 0:
             v = _masked(c.cast("double"), self.mask_value)
             row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
-            mean, std = float(row["m"]), float(row["s"])
+            mean, std = _f(row["m"]), _f(row["s"])
         else:
             dim = _array_dim(src, self.input_col)
             aggs = []
@@ -107,8 +115,8 @@ class StandardScaleEstimator(Estimator):
                 e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
                 aggs += [F.mean(e).alias(f"m{i}"), F.stddev_pop(e).alias(f"s{i}")]
             row = src.agg(*aggs).first()
-            mean = [float(row[f"m{i}"]) for i in range(dim)]
-            std = [float(row[f"s{i}"]) for i in range(dim)]
+            mean = [_f(row[f"m{i}"]) for i in range(dim)]
+            std = [_f(row[f"s{i}"]) for i in range(dim)]
         return StandardScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             mean=mean, stddev=std, mask_value=self.mask_value,
@@ -136,9 +144,12 @@ class SingleFeatureArrayStandardScaleEstimator(Estimator):
         row = src.agg(
             F.sum(s1).alias("s1"), F.sum(s2).alias("s2"), F.sum(F.size(flat)).alias("n")
         ).first()
-        n = float(row["n"])
-        mean = float(row["s1"]) / n
-        var = float(row["s2"]) / n - mean * mean
+        n = _f(row["n"])
+        if not n > 0:  # empty / all-empty-array corpus: NaN stats
+            mean, var = float("nan"), float("nan")
+        else:
+            mean = _f(row["s1"]) / n
+            var = _f(row["s2"]) / n - mean * mean
         return StandardScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             mean=mean, stddev=max(var, 0.0) ** 0.5,
@@ -168,7 +179,7 @@ class MinMaxScaleTransformer(ElementwiseTransform):
             lo, hi = F.lit(float(self.min)), F.lit(float(self.max))
 
             def scale(x: Column) -> Column:
-                out = (x - lo) / (hi - lo)
+                out = F.try_divide(x - lo, hi - lo)
                 if self.mask_value is not None:
                     return F.when(x == F.lit(self.mask_value), x).otherwise(out)
                 return out
@@ -182,7 +193,7 @@ class MinMaxScaleTransformer(ElementwiseTransform):
                 def at(x: Column, i: Column) -> Column:
                     lo = F.element_at(los, i + 1)
                     hi = F.element_at(his, i + 1)
-                    out = (x - lo) / (hi - lo)
+                    out = F.try_divide(x - lo, hi - lo)
                     if self.mask_value is not None:
                         return F.when(x == F.lit(self.mask_value), x).otherwise(out)
                     return out
@@ -209,7 +220,7 @@ class MinMaxScaleEstimator(Estimator):
         if level == 0:
             v = _masked(c.cast("double"), self.mask_value)
             row = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
-            lo, hi = float(row["lo"]), float(row["hi"])
+            lo, hi = _f(row["lo"]), _f(row["hi"])
         else:
             dim = _array_dim(src, self.input_col)
             aggs = []
@@ -217,8 +228,8 @@ class MinMaxScaleEstimator(Estimator):
                 e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
                 aggs += [F.min(e).alias(f"lo{i}"), F.max(e).alias(f"hi{i}")]
             row = src.agg(*aggs).first()
-            lo = [float(row[f"lo{i}"]) for i in range(dim)]
-            hi = [float(row[f"hi{i}"]) for i in range(dim)]
+            lo = [_f(row[f"lo{i}"]) for i in range(dim)]
+            hi = [_f(row[f"hi{i}"]) for i in range(dim)]
         return MinMaxScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             min=lo, max=hi, mask_value=self.mask_value,
@@ -250,6 +261,8 @@ class ConditionalStandardScaleEstimator(Estimator):
     @staticmethod
     def _binary_moments(n: float, f: float) -> tuple[float, float]:
         """mean = 1 - f/n; stddev per reference _get_binary_moments."""
+        if not n > 1.0:  # no (or a single) positive indicator: NaN stats
+            return float("nan"), float("nan")
         p = f / n
         mean = 1.0 - p
         var = (f * (1.0 - p) ** 2 + (n - f) * p**2) / (n - 1.0)
@@ -285,9 +298,9 @@ class ConditionalStandardScaleEstimator(Estimator):
             a, b = moments(None)
             row = src.agg(a.alias("a"), b.alias("b")).first()
             if self.scaling == "binary":
-                mean, std = self._binary_moments(float(row["a"]), float(row["b"]))
+                mean, std = self._binary_moments(_f(row["a"]), _f(row["b"]))
             else:
-                mean, std = float(row["a"]), float(row["b"])
+                mean, std = _f(row["a"]), _f(row["b"])
         else:
             # per-element moments, no explode (reference
             # conditional_standard_scale.py:398-540 element_struct aggs)
@@ -299,14 +312,14 @@ class ConditionalStandardScaleEstimator(Estimator):
             row = src.agg(*aggs).first()
             if self.scaling == "binary":
                 pairs = [
-                    self._binary_moments(float(row[f"a{i}"]), float(row[f"b{i}"]))
+                    self._binary_moments(_f(row[f"a{i}"]), _f(row[f"b{i}"]))
                     for i in range(dim)
                 ]
                 mean = [m for m, _ in pairs]
                 std = [s for _, s in pairs]
             else:
-                mean = [float(row[f"a{i}"]) for i in range(dim)]
-                std = [float(row[f"b{i}"]) for i in range(dim)]
+                mean = [_f(row[f"a{i}"]) for i in range(dim)]
+                std = [_f(row[f"b{i}"]) for i in range(dim)]
         return ConditionalStandardScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             mean=mean, stddev=std,
@@ -329,7 +342,7 @@ class ConditionalStandardScaleTransformer(ElementwiseTransform):
 
     def _scale1(self, x: Column, m: Column, s: Column) -> Column:
         v = F.log10(x) if self.scaling == "log10" else x
-        out = (v - m) / s
+        out = F.try_divide(v - m, s)
         if self.skip_zeros:
             return F.when(x == 0.0, x).otherwise(out)
         return out
@@ -393,7 +406,7 @@ class ImputeEstimator(Estimator):
         src = self._fit_input(df)
         v = _masked(F.col(self.input_col).cast("double"), self.mask_value)
         agg = F.mean(v) if self.strategy == "mean" else F.median(v)
-        stat = float(src.agg(agg.alias("st")).first()["st"])
+        stat = _f(src.agg(agg.alias("st")).first()["st"])
         return ImputeTransformer(
             input_col=self.input_col, output_col=self.output_col,
             statistic=stat, mask_value=self.mask_value,
