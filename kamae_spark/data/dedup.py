@@ -396,6 +396,44 @@ class SimHash(ElementwiseTransform):
         return {self.output_col: _simhash64(F.col(self.input_col))}
 
 
+def simhash_signatures_jvm(
+    df: DataFrame, tokens_col: str, id_col: str
+) -> DataFrame:
+    """(id, 64-bit simhash) computed ENTIRELY JVM-side: explode tokens ->
+    whole-stage-codegen xxhash64 per token -> 64 signed bit-count sum
+    aggregates per doc (map-side partial agg; the shuffle carries
+    docs x 64 longs) -> sign assembly into one bigint.
+
+    This is the corpus-scale path: the Arrow ``SimHash`` stage hashes
+    each token with a per-character Python FNV loop — fine for a
+    column-transformer stage on modest data, a Python-bound bottleneck
+    at 10^9 documents. Same simhash math (bit-majority of token
+    hashes), different token hash (xxhash64 vs FNV-1a), so signatures
+    are not interchangeable between the two paths. Docs with empty/null
+    token arrays produce no signature row (they cannot be near-dups of
+    anything by content)."""
+    t = df.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
+    h = t.select("__id", F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    g = h.groupBy("__id").agg(*aggs)
+    acc: Column = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc.bitwiseOR(
+            F.when(
+                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return g.select("__id", acc.alias("__sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR of two 64-bit signatures (pure expr)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -461,12 +499,24 @@ def simhash_pairs_from_sigs(
 
 def simhash_neardup_pairs(
     df: DataFrame, tokens_col: str, id_col: str, max_hamming: int = 3,
-    bands: int | None = None,
+    bands: int | None = None, signature: str = "jvm",
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance with banded blocking
     whose band count is DERIVED from max_hamming (>= max_hamming + 1) so
-    the candidate set provably contains every qualifying pair."""
-    sig = df.select(F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig"))
+    the candidate set provably contains every qualifying pair.
+
+    ``signature='jvm'`` (default, the scale path) derives signatures
+    via simhash_signatures_jvm — zero Python; ``'arrow'`` uses the
+    FNV-based pandas UDF (the SimHash stage's hash). Pair SETS agree in
+    distribution but not row-for-row (different token hashes)."""
+    if signature == "jvm":
+        sig = simhash_signatures_jvm(df, tokens_col, id_col)
+    elif signature == "arrow":
+        sig = df.select(
+            F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig")
+        )
+    else:
+        raise ValueError("signature must be jvm|arrow")
     return simhash_pairs_from_sigs(sig, "__sig", "__id", max_hamming, bands)
 
 

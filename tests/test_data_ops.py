@@ -362,3 +362,79 @@ def test_ivf_vectorized_rescore_matches_fold_path(embeddings):
     b = b.sort_values(key).reset_index(drop=True)
     assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
     assert np.allclose(a["score"], b["score"], atol=1e-6)
+
+
+def test_salted_topk_identical_to_single_window(embeddings):
+    """The two-phase salted top-k must be bit-identical to the plain
+    per-query window for both the exact and IVF paths."""
+    q = embeddings.where(F.col("vec_id") < 5)
+    a = brute_force_topk(embeddings, q, "embedding", "vec_id", k=7,
+                         salt_partitions=32).toPandas()
+    b = brute_force_topk(embeddings, q, "embedding", "vec_id", k=7,
+                         salt_partitions=0).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    ia = ivf_topk(embeddings, q, "embedding", "vec_id", k=7, n_centroids=8,
+                  nprobe=8, salt_partitions=32).toPandas()
+    ib = ivf_topk(embeddings, q, "embedding", "vec_id", k=7, n_centroids=8,
+                  nprobe=8, salt_partitions=0).toPandas()
+    ia = ia.sort_values(key).reset_index(drop=True)
+    ib = ib.sort_values(key).reset_index(drop=True)
+    assert ia.equals(ib)
+
+
+def test_salted_topk_plan_has_two_rank_stages(embeddings):
+    """Regression fence: the salted path must rank in two window stages
+    (parallelism n_queries x salt, then n_queries over salt*k rows) —
+    not one giant per-query window."""
+    q = embeddings.where(F.col("vec_id") < 3)
+    out = brute_force_topk(embeddings, q, "embedding", "vec_id", k=5,
+                           salt_partitions=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+
+
+def test_simhash_jvm_signatures_properties(spark):
+    """JVM-side simhash: identical token lists -> identical signatures;
+    near-identical lists -> small hamming; disjoint vocab -> large
+    hamming; empty token arrays produce no signature row."""
+    from kamae_spark.data.dedup import hamming64, simhash_signatures_jvm
+
+    toks_a = [f"w{i}" for i in range(60)]
+    toks_b = toks_a[:-2] + ["CHANGED", "ALSO"]
+    toks_c = [f"other{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, toks_a), (2, list(toks_a)), (3, toks_b), (4, toks_c), (5, [])],
+        "id long, toks array<string>",
+    )
+    sigs = simhash_signatures_jvm(df, "toks", "id")
+    rows = {r["__id"]: r["__sig"] for r in sigs.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # empty-token doc 5 dropped
+    assert rows[1] == rows[2]
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).alias("h"),
+        ).collect()
+    }
+    assert ham[(1, 2)] == 0
+    assert ham[(1, 3)] < ham[(1, 4)]
+    assert ham[(1, 3)] <= 16  # 58/60 shared tokens -> few flipped bits
+
+
+def test_simhash_neardup_jvm_recovers_pairs(spark):
+    from kamae_spark.data.dedup import simhash_neardup_pairs
+
+    base = [f"tok{i}" for i in range(80)]
+    rows = [(1, base), (2, base[:-1] + ["X"]), (3, [f"z{i}" for i in range(80)])]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = simhash_neardup_pairs(df, "toks", "id", max_hamming=8).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
