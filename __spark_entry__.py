@@ -1655,6 +1655,56 @@ def _q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL applyInPandasWithState job (custom stateful streaming,
+    §2.13): file-source readStream -> per-conversation running turn
+    count + latest non-null tool -> availableNow into a memory sink.
+    The events parquet is a single file => a single deterministic
+    micro-batch, so the final state row per conversation is exactly
+    (count(*), tool at max turn_idx among non-null) — ANSI-SQL
+    expressible. Multi-batch incremental state is exercised by
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from kamae_spark.streaming.sessions import stream_turn_counter
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="kamae_stream_state_")
+    if os.path.isdir(path):
+        shutil.copytree(path, os.path.join(stream_dir, "events.parquet"))
+    else:
+        shutil.copy(path, stream_dir)
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            # sparse "tool" column: only high-value events carry one
+            F.when(F.col("value") > 200.0, F.col("event_type")).alias("tool"),
+        )
+    )
+    counted = stream_turn_counter(stream)
+    sink = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("conv_id", "n_turns_total", "last_tool")
+
+
+_STREAMING_STATE_SQL = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       cast(count(*) AS bigint) AS n_turns_total,
+       max_by(event_type, event_id) FILTER (WHERE value > 200.0) AS last_tool
+FROM events
+GROUP BY user_id
+"""
+
+
 def _q_encoders_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SharedOneHotEncodeEstimator (reference
     estimators/shared_one_hot_encode.py:117): ONE vocab fitted across
@@ -1808,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_probe": _q_ivf_topk_probe,
         "encoders_shared": _q_encoders_shared,
         "checkpointed_write": _q_checkpointed_write,
+        "streaming_state": _q_streaming_state,
         "multimodal_features": _q_multimodal,
         "rowwise_math2": _q_rowwise_math2,
         "geo_features": _q_geo_features,
@@ -1864,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ANN_TOPK_SQL,
         "encoders_shared": _ENCODERS_SHARED_SQL,
         "checkpointed_write": _CHECKPOINTED_WRITE_SQL,
+        "streaming_state": _STREAMING_STATE_SQL,
         # ivf_topk_probe is intentionally oracle-less (approximate by
         # design; rows-only at the driver) but self-gated: the query
         # raises unless recall@10 vs exact brute force >= 0.9
