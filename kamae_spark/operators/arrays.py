@@ -189,7 +189,11 @@ class PairwiseCosineSimilarity(Transformer):
 
         def sim(i: Column) -> Column:
             cand = F.slice(flat, i * dim + 1, dim)
-            return F.coalesce(_dot(query, cand) / (qn * _norm(cand)), F.lit(0.0))
+            # try_divide: a zero-norm side must yield the documented 0.0,
+            # not an ANSI DIVIDE_BY_ZERO job failure (coalesce cannot
+            # catch an ANSI error; reference pairwise_cosine_similarity.py
+            # line 85 coalesces under non-ANSI semantics)
+            return F.coalesce(F.try_divide(_dot(query, cand), qn * _norm(cand)), F.lit(0.0))
 
         return {self.output_col: self._out(df, F.transform(idx, sim))}
 

@@ -116,6 +116,22 @@ def index_expr(x: Column, labels: Sequence[str], mask_token: str | None,
     return expr.cast("int")
 
 
+def fallback_expr(x: Column, mask_token: str | None, num_oov_indices: int) -> Column:
+    """``index_expr`` minus the vocab lookup: the value an element gets
+    when it is NOT in the vocab (null -> 0, mask -> 0, else OOV hash
+    bucket; null when num_oov_indices == 0). Computed JVM-side so the
+    big-vocab dict path shares the literal path's exact OOV hashing."""
+    start = 1 if mask_token is not None else 0
+    if num_oov_indices > 0:
+        oov = (F.pmod(F.xxhash64(x), F.lit(num_oov_indices)) + start).cast("int")
+        expr = F.when(x.isNull(), F.lit(0)).otherwise(oov)
+    else:
+        expr = F.lit(None).cast("int")
+    if mask_token is not None:
+        expr = F.when(x == F.lit(mask_token), F.lit(0)).otherwise(expr)
+    return expr.cast("int")
+
+
 class StringIndexTransformer(ElementwiseTransform):
     """Fitted vocab lookup (see module docstring for index layout).
 
@@ -125,8 +141,14 @@ class StringIndexTransformer(ElementwiseTransform):
     identical layout and OOV hashing (the OOV bucket is computed from
     the input column JVM-side either way), but the vocab ships once per
     executor instead of being inlined into every plan. Nested array
-    columns keep the literal-map path (a join would need explode +
-    re-assembly); bound their vocabs with max_num_labels at fit time.
+    columns switch to a broadcast-dict lookup inside an Arrow-batched
+    pandas UDF (``sc.broadcast`` ships the vocab once per executor; the
+    OOV/mask/null fallback is precomputed JVM-side by the exact same
+    codegen expression the literal path uses, so the UDF is a pure dict
+    probe and layout parity is structural). Rationale: a join would need
+    explode + order-preserving re-assembly (an extra shuffle per
+    column); the literal map would inline a multi-MB vocab into every
+    plan and crush the analyzer.
     """
 
     compatible_dtypes = ("string",)
@@ -149,11 +171,12 @@ class StringIndexTransformer(ElementwiseTransform):
     def _col_pairs(self) -> list[tuple[str, str]]:
         return [(self.input_col, self.output_col)]
 
-    def _join_cols(self, df: DataFrame) -> set[str]:
+    def _join_cols(self, df: DataFrame) -> dict[str, int]:
+        """input columns taking a big-vocab path -> nesting level."""
         threshold = getattr(self, "vocab_join_threshold", None) or VOCAB_JOIN_THRESHOLD
         if len(self.labels) <= threshold:
-            return set()
-        return {c for c in self.input_columns if column_info(df, c)[0] == 0}
+            return {}
+        return {c: column_info(df, c)[0] for c in self.input_columns}
 
     def build(self, df: DataFrame):
         if self._join_cols(df):
@@ -166,13 +189,10 @@ class StringIndexTransformer(ElementwiseTransform):
             return super().transform(df)
         self._validate(df)
         for in_c, out_c in self._col_pairs():
-            if in_c in join_cols:
+            if join_cols.get(in_c, 0) == 0:
                 df = self._join_lookup(df, in_c, out_c)
             else:
-                from kamae_spark.functions.arrays import elementwise
-
-                expr, _ = elementwise(df, [in_c], self._index_expr)
-                df = df.select("*", expr.alias(out_c))
+                df = self._dict_lookup(df, in_c, out_c, join_cols[in_c])
         return df
 
     def _join_lookup(self, df: DataFrame, in_c: str, out_c: str) -> DataFrame:
@@ -202,6 +222,54 @@ class StringIndexTransformer(ElementwiseTransform):
         if self.mask_token is not None:
             expr = F.when(x == F.lit(self.mask_token), F.lit(0)).otherwise(expr)
         return joined.select(*df.columns, self._out(df, expr.cast("int")).alias(out_c))
+
+    def _dict_lookup(self, df: DataFrame, in_c: str, out_c: str, level: int) -> DataFrame:
+        """Big-vocab lookup for (nested) array columns: broadcast the
+        vocab dict once per executor, precompute the non-vocab fallback
+        (OOV hash / mask / null) JVM-side with ``fallback_expr`` in the
+        same shape as the input, then resolve each element with a pure
+        dict probe inside an Arrow-batched pandas UDF. No explode, no
+        join, no per-plan literal — row-local and shuffle-free."""
+        from pyspark.sql.functions import pandas_udf
+
+        from kamae_spark.functions.arrays import elementwise
+
+        import pandas as pd
+
+        start = 1 if self.mask_token is not None else 0
+        offset = start + self.num_oov_indices
+        bc = df.sparkSession.sparkContext.broadcast(
+            {lab: i for i, lab in enumerate(self.labels, offset)}
+        )
+        casted = self._in(df, in_c)
+        fb, _ = elementwise(
+            df, [in_c],
+            lambda x: fallback_expr(x, self.mask_token, self.num_oov_indices),
+            columns=[casted],
+        )
+
+        def walk(xs, fs, lv):
+            if xs is None:
+                return None
+            d = bc.value
+            if lv == 1:
+                # fs may arrive as a float ndarray when it holds nulls
+                # (Arrow int-with-null -> NaN); normalize NaN to None
+                return [
+                    d.get(x, None if f is None or f != f else int(f))
+                    for x, f in zip(xs, fs)
+                ]
+            return [walk(x, f, lv - 1) for x, f in zip(xs, fs)]
+
+        def lookup(xs, fs):
+            return pd.Series(
+                [walk(x, f, level) for x, f in zip(xs, fs)], dtype=object
+            )
+
+        ret = "array<" * level + "int" + ">" * level
+        udf = pandas_udf(lookup, ret, functionType=200)  # SQL_SCALAR_PANDAS_UDF
+        expr = udf(casted, fb)
+        return df.select("*", self._out(df, expr, level).alias(out_c))
 
 
 class StringIndexEstimator(Estimator):
@@ -256,8 +324,9 @@ class SharedStringIndexEstimator(Estimator):
 
 class SharedStringIndexTransformer(StringIndexTransformer):
     """Applies the shared vocab to each input column independently
-    (scalar columns take the broadcast-join path past the vocab
-    threshold, same as StringIndexTransformer)."""
+    (past the vocab threshold, scalar columns take the broadcast-join
+    path and array columns the broadcast-dict path, same as
+    StringIndexTransformer)."""
 
     @keyword_params
     def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),

@@ -96,7 +96,7 @@ Workloads:
   ({CONVS} conversations, Zipf-skewed lengths)
 - minhash LSH near-dup pairs over {DATA_OPS_N} synthetic documents
   (word shingles, banded buckets, exact-jaccard verify)
-- IVF ANN top-10 over {int(int(DATA_OPS_N) / 2):,} synthetic 64-dim
+- IVF ANN top-10 over {int(DATA_OPS_N) * 2:,} synthetic 64-dim
   embeddings (seeded k-means centroids, nprobe 8/64)
 
 ## Flagship throughput

@@ -338,3 +338,90 @@ def test_shared_big_vocab_join_path(spark):
     assert [r["ia"] for r in rows] == [1, 6]
     assert rows[0]["ib"] == 50
     assert rows[1]["ib"] == 0  # OOV with 1 oov index, no mask -> 0
+
+
+def test_array_big_vocab_dict_path(spark):
+    """Past the vocab threshold, ARRAY columns switch to the
+    broadcast-dict pandas-UDF lookup: no literal vocab map in the plan,
+    and element-exact parity with the literal path (same OOV hashing,
+    computed JVM-side) across in-vocab / OOV / null element / mask /
+    null array / empty array."""
+    from kamae_spark.operators.indexers import StringIndexTransformer
+
+    labels = [f"tok{i}" for i in range(50)]
+    rows = [
+        (["tok0", "tok49", "UNSEEN"],),
+        (["<mask>", None, "tok7"],),
+        (None,),
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "w array<string>")
+    lit_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels,
+        mask_token="<mask>", num_oov_indices=2,
+    )
+    dict_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels,
+        mask_token="<mask>", num_oov_indices=2, vocab_join_threshold=4,
+    )
+    out = dict_t.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "pythonUDF" in plan.lower()
+    assert "map_from_arrays" not in plan
+    assert "Exchange" not in plan  # row-local: no join, no shuffle
+    got = [r["idx"] for r in out.collect()]
+    want = [r["idx"] for r in lit_t.transform(df).collect()]
+    assert got == want
+    # layout sanity independent of the parity check
+    by_first = {
+        tuple(r["w"]): r["idx"] for r in out.collect() if r["w"] is not None
+    }
+    assert by_first[("tok0", "tok49", "UNSEEN")][0] == 3  # mask + 2 oov
+    assert by_first[("tok0", "tok49", "UNSEEN")][1] == 3 + 49
+    assert by_first[("tok0", "tok49", "UNSEEN")][2] in (1, 2)
+    assert by_first[("<mask>", None, "tok7")][:2] == [0, 0]
+    assert by_first[()] == []
+    assert [r["idx"] for r in out.where("w is null").collect()] == [None]
+
+
+def test_array_big_vocab_dict_path_no_oov(spark):
+    """num_oov_indices=0: unseen/null elements -> null, matching the
+    literal path contract."""
+    from kamae_spark.operators.indexers import StringIndexTransformer
+
+    labels = [f"t{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(["t0", "zz", None],)], "w array<string>"
+    )
+    lit_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels, num_oov_indices=0,
+    )
+    dict_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels, num_oov_indices=0,
+        vocab_join_threshold=4,
+    )
+    got = dict_t.transform(df).collect()[0]["idx"]
+    want = lit_t.transform(df).collect()[0]["idx"]
+    assert got == want == [0, None, None]
+
+
+def test_nested_array_big_vocab_dict_path(spark):
+    """Level-2 nested arrays take the dict path with exact parity."""
+    from kamae_spark.operators.indexers import StringIndexTransformer
+
+    labels = [f"t{i}" for i in range(30)]
+    df = spark.createDataFrame(
+        [([["t0", "UNSEEN"], None, ["t29", None]],), (None,)],
+        "w array<array<string>>",
+    )
+    lit_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels, num_oov_indices=1,
+    )
+    dict_t = StringIndexTransformer(
+        input_col="w", output_col="idx", labels=labels, num_oov_indices=1,
+        vocab_join_threshold=4,
+    )
+    got = [r["idx"] for r in dict_t.transform(df).collect()]
+    want = [r["idx"] for r in lit_t.transform(df).collect()]
+    assert got == want
+    assert got[0][1] is None  # inner null array preserved

@@ -104,3 +104,94 @@ def test_modulo_floormod_property(spark, xs, y):
     )
     exp = np.mod(got["x"].to_numpy(), float(y))
     np.testing.assert_allclose(got["m"].to_numpy(), exp, atol=1e-9)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=25,
+    ),
+    splits=st.lists(st.floats(-50, 50, allow_nan=False), min_size=1,
+                    max_size=6, unique=True),
+)
+def test_bucketize_matches_bisect_right(spark, xs, splits):
+    """Bucketize == bisect.bisect_right(splits, x) + 1; null -> null."""
+    import bisect
+
+    from kamae_spark.operators.conditional import Bucketize
+
+    splits = sorted(splits)
+    # tuples, not pandas: None must reach Spark as NULL, not NaN
+    df = spark.createDataFrame(
+        [(i, None if x is None else float(x)) for i, x in enumerate(xs)],
+        "i int, x double",
+    )
+    got = (
+        Bucketize(input_col="x", output_col="b", splits=splits)
+        .transform(df).toPandas().sort_values("i")["b"].tolist()
+    )
+    exp = [None if x is None else bisect.bisect_right(splits, x) + 1 for x in xs]
+    assert [None if g is None or g != g else int(g) for g in got] == exp
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c", "d", "<p>"]),
+                  min_size=1, max_size=15),
+)
+def test_ordinal_array_encode_matches_first_appearance(spark, toks):
+    from kamae_spark.operators.arrays import OrdinalArrayEncode
+
+    df = spark.createDataFrame([(toks,)], "xs array<string>")
+    got = (
+        OrdinalArrayEncode(input_col="xs", output_col="o", pad_value="<p>")
+        .transform(df).collect()[0]["o"]
+    )
+    seen: dict[str, int] = {}
+    exp = []
+    for t in toks:
+        if t == "<p>":
+            exp.append(-1)
+        else:
+            seen.setdefault(t, len(seen))
+            exp.append(seen[t])
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    xs=st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=1, max_size=30),
+    k=st.integers(1, 6),
+)
+def test_rolling_sum_matches_pandas_rolling(spark, xs, k):
+    from kamae_spark.operators.windows import RollingAgg
+
+    pdf = pd.DataFrame({"conv_id": "c", "turn_idx": range(len(xs)), "x": xs})
+    df = spark.createDataFrame(pdf)
+    got = (
+        RollingAgg(input_col="x", output_col="s", agg="sum",
+                   order_by=["turn_idx"], rows=k)
+        .transform(df).toPandas().sort_values("turn_idx")["s"].to_numpy()
+    )
+    exp = pdf["x"].rolling(window=k, min_periods=1).sum().to_numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(xs=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=21))
+def test_list_agg_median_matches_numpy(spark, xs):
+    from kamae_spark.operators.windows import ListAgg
+
+    pdf = pd.DataFrame({"conv_id": "c", "x": xs})
+    df = spark.createDataFrame(pdf)
+    got = (
+        ListAgg(input_col="x", output_col="md", agg="median",
+                group_cols=["conv_id"])
+        .transform(df).toPandas()["md"].iloc[0]
+    )
+    assert got == pytest.approx(float(np.median(xs)), abs=1e-9)
