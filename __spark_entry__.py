@@ -748,7 +748,10 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_sigs == 0:
         raise RuntimeError("SimHash text UDF produced no signatures")
 
-    base = F.col("doc_id") - F.col("doc_id") % 2
+    # base bounded to < 8192 so base<<50 fits in 63 bits on BOTH engines
+    # (DuckDB raises Out of Range on signed shift overflow where Spark
+    # silently wraps — divergence on any corpus with doc_id >= 8192)
+    base = F.col("doc_id") % 8192 - F.col("doc_id") % 2
     spread = base
     for s in (10, 20, 30, 40, 50):
         spread = spread.bitwiseXOR(F.shiftleft(base, s))
@@ -767,7 +770,7 @@ WITH s AS (
              CASE WHEN doc_id % 2 = 1
                   THEN (CAST(1 AS BIGINT) << CAST(doc_id % 11 AS INT)) - 1
                   ELSE CAST(0 AS BIGINT) END) AS sig
-  FROM (SELECT doc_id, doc_id - doc_id % 2 AS b FROM documents)
+  FROM (SELECT doc_id, doc_id % 8192 - doc_id % 2 AS b FROM documents)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        cast(bit_count(xor(a.sig, b.sig)) AS int) AS hamming

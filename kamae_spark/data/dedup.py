@@ -353,26 +353,72 @@ def minhash_lsh_pairs(
 # simhash (Arrow-vectorized)
 # ---------------------------------------------------------------------------
 
+def _fnv1a64_tokens(bts: list) -> "np.ndarray":
+    """FNV-1a 64 of each byte string, vectorized ACROSS tokens: all
+    bytes concatenate into one buffer, then one numpy xor-multiply pass
+    per byte POSITION updates every still-active token hash at once.
+    Python work is O(max_token_len) loop iterations, not O(total_chars)
+    — the per-character interpreter loop this replaces was the last
+    Python-bound inner loop in the dedup module (same constants, so
+    signatures are stable across rounds; parity-tested against a
+    scalar reference in tests/test_data_ops.py)."""
+    n = len(bts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bts), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    cat = np.frombuffer(b"".join(bts), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    prime = np.uint64(0x100000001B3)
+    # walk byte positions; tokens shorter than j drop out of `active`
+    order = np.argsort(lens, kind="stable")  # longest last
+    h_s, lens_s, starts_s = h[order], lens[order], starts[order]
+    lo = 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            while lo < n and lens_s[lo] <= j:
+                lo += 1
+            idx = starts_s[lo:] + j
+            h_s[lo:] = (h_s[lo:] ^ cat[idx].astype(np.uint64)) * prime
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h_s
+    return out
+
+
 def _simhash64_py(tokens: pd.Series) -> pd.Series:
     """64-bit simhash of token arrays. Vectorized per Arrow batch:
-    tokens are hashed with a stable 64-bit FNV-1a (pure numpy), bit
-    contributions summed, sign taken."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            continue
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, t in enumerate(toks):
-            h = np.uint64(0xCBF29CE484222325)
-            for ch in t.encode("utf-8"):
-                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+    the batch's tokens are flattened into ONE array, hashed with the
+    numpy-vectorized FNV-1a above, bit contributions summed per doc
+    via np.add.reduceat, sign taken — no per-character or per-token
+    Python hash loop."""
+    n = len(tokens)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    docs = [
+        [] if toks is None else [t.encode("utf-8") for t in toks] for toks in tokens
+    ]
+    counts = np.fromiter((len(d) for d in docs), dtype=np.int64, count=n)
+    flat = [b for d in docs for b in d]
+    if not flat:
+        return pd.Series(out)
+    hs = _fnv1a64_tokens(flat)
+    # (n_tokens, 64) signed bit contributions, summed per document
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    contrib = 2 * bits - 1
+    nz = counts > 0
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+    acc = np.add.reduceat(contrib, offsets, axis=0)  # (n_nonempty, 64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    sigs = np.where(acc > 0, weights, np.uint64(0)).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nz] = sigs.astype(np.int64)
     return pd.Series(out)
 
 
@@ -581,7 +627,7 @@ def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, id_col: str,
     threshold: float = 0.95, n_bits: int | None = None, seed: int = 42,
     target_bucket_rows: int = 128, dim: int | None = None,
-    n_rows: int | None = None,
+    n_rows: int | None = None, chunk_cap: int | None = 4096,
 ) -> DataFrame:
     """Cosine >= threshold pairs, candidate-limited to equal LSH sign-bit
     buckets (high-threshold near-dups almost surely share all sign bits).
@@ -596,7 +642,17 @@ def embedding_neardup_pairs(
     match nothing; the Arrow bucketing/rescoring batches require dense
     rows). Candidate verification is an Arrow-batched numpy cosine, not
     the interpreted Column fold — at corpus scale the verify runs over
-    every candidate pair and dominates."""
+    every candidate pair and dominates.
+
+    Candidate generation goes through the chunk-guarded
+    ``_bucket_pairs`` (same machinery as minhash/simhash): a dedup
+    corpus's normal case is a large cluster of near-identical vectors
+    that all share every sign bit — under a plain bucket self-join
+    that is one hot join key whose k^2 candidate rows funnel through a
+    single task pair. ``_bucket_pairs`` hash-splits any bucket larger
+    than ``chunk_cap`` into chunk-pair tasks of <= ~2*chunk_cap rows
+    each while still emitting the exact pair set (the vectors ride
+    along as payload so the Arrow verify needs no join back)."""
     import math
 
     from kamae_spark.data.similarity import cosine_pairs_udf
@@ -610,19 +666,15 @@ def embedding_neardup_pairs(
     if n_bits is None:
         n = df.count() if n_rows is None else int(n_rows)
         n_bits = min(max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows))), 24)
-    sel = df.select(
+    banded = df.select(
+        F.lit(0).alias("band"),
+        hyperplane_bits_udf(dim, n_bits, seed)(F.col(vec_col)).alias("bucket"),
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        hyperplane_bits_udf(dim, n_bits, seed)(F.col(vec_col)).alias("__bkt"),
     )
-    pairs = (
-        sel.alias("x")
-        .join(sel.alias("y"),
-              (F.col("x.__bkt") == F.col("y.__bkt")) & (F.col("x.__id") < F.col("y.__id")))
-        .select(
-            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
-            cosine_pairs_udf()(F.col("x.__v"), F.col("y.__v")).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    cand = _bucket_pairs(banded, payload=("__v",), chunk_cap=chunk_cap)
+    pairs = cand.select(
+        "id_a", "id_b",
+        cosine_pairs_udf()(F.col("__v_a"), F.col("__v_b")).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
     return pairs

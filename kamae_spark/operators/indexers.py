@@ -188,6 +188,15 @@ class StringIndexTransformer(ElementwiseTransform):
         if not join_cols:
             return super().transform(df)
         self._validate(df)
+        # the small-vocab map_from_arrays path raises on duplicate keys;
+        # the join path would silently DUPLICATE input rows and the dict
+        # path would silently last-wins — fail identically on both sides
+        # of the vocab_join_threshold boundary instead
+        if len(set(self.labels)) != len(self.labels):
+            raise ValueError(
+                f"{type(self).__name__}: labels contain duplicate entries; "
+                "vocab keys must be unique"
+            )
         for in_c, out_c in self._col_pairs():
             if join_cols.get(in_c, 0) == 0:
                 df = self._join_lookup(df, in_c, out_c)

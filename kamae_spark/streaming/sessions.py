@@ -65,6 +65,9 @@ _TURN_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_turns", T.LongType()),
         T.StructField("last_tool", T.StringType()),
+        # turn_idx of last_tool: chunk/batch arrival order is NOT turn
+        # order, so "latest tool" must compare turn_idx across chunks
+        T.StructField("last_tool_turn", T.LongType()),
     ]
 )
 
@@ -82,16 +85,21 @@ def _update_turns(
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.exists:
-        n, last_tool = state.get
+        n, last_tool, last_tool_turn = state.get
     else:
-        n, last_tool = 0, None
+        n, last_tool, last_tool_turn = 0, None, None
     for pdf in batches:
         n += len(pdf)
-        pdf = pdf.sort_values(["turn_idx"])
-        tools = pdf["tool"].dropna()
-        if len(tools):
-            last_tool = tools.iloc[-1]
-    state.update((n, last_tool))
+        # a conversation can span multiple Arrow chunks in arbitrary
+        # turn order — keep the tool of the MAX non-null-tool turn_idx
+        # seen so far, not the last tool of the latest-arriving chunk
+        withtool = pdf[pdf["tool"].notna()]
+        if len(withtool):
+            row = withtool.loc[withtool["turn_idx"].idxmax()]
+            turn = int(row["turn_idx"])
+            if last_tool_turn is None or turn > last_tool_turn:
+                last_tool, last_tool_turn = row["tool"], turn
+    state.update((n, last_tool, last_tool_turn))
     yield pd.DataFrame(
         {"conv_id": [conv_id], "n_turns_total": [n], "last_tool": [last_tool]}
     )

@@ -438,3 +438,107 @@ def test_simhash_neardup_jvm_recovers_pairs(spark):
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_fnv1a_vectorized_parity():
+    """The numpy-vectorized FNV-1a must bit-equal the scalar definition
+    (cross-round signature stability depends on it)."""
+    import random
+    import string
+
+    from kamae_spark.data.dedup import _fnv1a64_tokens
+
+    def fnv_ref(b):
+        h = 0xCBF29CE484222325
+        for ch in b:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    rng = random.Random(7)
+    toks = ["", "a", "hello", "世界のテスト", "x" * 300] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 50)))
+        for _ in range(200)
+    ]
+    bts = [t.encode("utf-8") for t in toks]
+    got = _fnv1a64_tokens(bts)
+    exp = np.array([fnv_ref(b) for b in bts], dtype=np.uint64)
+    assert (got == exp).all()
+
+
+def test_simhash_vectorized_batch_parity():
+    """_simhash64_py (flattened batch + reduceat) must equal the
+    per-doc scalar simhash definition, including None/empty docs."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from kamae_spark.data.dedup import _simhash64_py
+
+    def fnv_ref(b):
+        h = 0xCBF29CE484222325
+        for ch in b:
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def simhash_ref(toks):
+        if toks is None or len(toks) == 0:
+            return 0
+        hs = np.array([fnv_ref(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        return int(np.int64(sig.astype(np.int64)))
+
+    rng = random.Random(3)
+    docs = [None, [], ["hello", "world"], ["a"], ["the", "quick", "the"], ["世界", ""]]
+    docs += [
+        ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 12)))
+         for _ in range(rng.randint(1, 40))]
+        for _ in range(100)
+    ]
+    got = _simhash64_py(pd.Series(docs, dtype=object)).to_numpy()
+    exp = np.array([simhash_ref(d) for d in docs], dtype=np.int64)
+    assert (got == exp).all()
+
+
+def test_embedding_neardup_adversarial_identical_vectors(spark):
+    """A cluster of identical vectors collapses into ONE bucket — the
+    normal shape of a dedup corpus. The chunk-guarded candidate path
+    must (a) emit the exact full pair set and (b) contain NO join at
+    all (the round-3 plan was a raw self-join on the bucket key: one
+    hot key, k^2 rows through a single task pair)."""
+    n = 150
+    vec = [0.3, -1.2, 0.8, 2.0]
+    extra = [(n + 1, [-0.3, 1.2, -0.8, -2.0])]  # opposite bucket, no pairs
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)] + extra, "id long, vec array<double>"
+    )
+    q = embedding_neardup_pairs(df, "vec", "id", threshold=0.999, n_bits=4, chunk_cap=16)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    got = q.toPandas()
+    assert len(got) == n * (n - 1) // 2
+    assert (got["cosine"] >= 0.999).all()
+    assert (got["id_a"] < got["id_b"]).all()
+    assert int(got[["id_a", "id_b"]].max().max()) < n + 1
+
+
+def test_embedding_neardup_chunked_equals_unchunked(spark):
+    """Chunk guard must not change the emitted pair set on random data."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(12, 6)
+    rows = []
+    rid = 0
+    for b in base:
+        for _ in range(rng.randint(1, 6)):
+            rows.append((rid, (b + rng.randn(6) * 0.003).tolist()))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    kw = dict(threshold=0.98, n_bits=5, n_rows=len(rows), dim=6)
+    a = embedding_neardup_pairs(df, "vec", "id", chunk_cap=4, **kw).toPandas()
+    b = embedding_neardup_pairs(df, "vec", "id", chunk_cap=None, **kw).toPandas()
+    key = lambda t: set(zip(t["id_a"], t["id_b"]))
+    assert key(a) == key(b) and len(a) == len(b)

@@ -425,3 +425,18 @@ def test_nested_array_big_vocab_dict_path(spark):
     want = [r["idx"] for r in lit_t.transform(df).collect()]
     assert got == want
     assert got[0][1] is None  # inner null array preserved
+
+
+def test_big_vocab_duplicate_labels_raise(spark):
+    """The small-vocab map_from_arrays path raises on duplicate vocab
+    keys; the big-vocab join/dict paths must fail the same way instead
+    of silently duplicating rows (join) or last-wins (dict)."""
+    import pytest
+
+    df = spark.createDataFrame([("a",), ("b",)], "s string")
+    t = StringIndexTransformer(
+        input_col="s", output_col="i",
+        labels=["a", "b", "c", "a", "d", "e"], vocab_join_threshold=4,
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.transform(df)

@@ -80,3 +80,50 @@ def test_stream_turn_counter(spark, transcripts, staged_stream):
     merged = exp.merge(got, on="conv_id")
     assert len(merged) == len(exp)
     assert (merged["count"] == merged["n"]).all()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _update_turns directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_update_turns_out_of_order_chunks():
+    """last_tool must follow max turn_idx, not Arrow-chunk arrival
+    order: a later-arriving chunk can hold EARLIER turns."""
+    import pandas as pd
+
+    from kamae_spark.streaming.sessions import _update_turns
+
+    state = _FakeState()
+    # chunk 1 holds the LATEST turn (idx 9, tool search); chunk 2
+    # arrives after but holds earlier turns with a different tool
+    chunk1 = pd.DataFrame({"turn_idx": [8, 9], "tool": [None, "search"]})
+    chunk2 = pd.DataFrame({"turn_idx": [2, 3], "tool": ["calc", None]})
+    out = list(_update_turns(("c1",), iter([chunk1, chunk2]), state))
+    assert out[0]["last_tool"].iloc[0] == "search"
+    assert out[0]["n_turns_total"].iloc[0] == 4
+
+    # a second micro-batch with an even later turn updates the state
+    chunk3 = pd.DataFrame({"turn_idx": [11], "tool": ["browse"]})
+    out2 = list(_update_turns(("c1",), iter([chunk3]), state))
+    assert out2[0]["last_tool"].iloc[0] == "browse"
+    assert out2[0]["n_turns_total"].iloc[0] == 5
+
+    # all-null-tool batch keeps the previous tool
+    chunk4 = pd.DataFrame({"turn_idx": [12], "tool": [None]})
+    out3 = list(_update_turns(("c1",), iter([chunk4]), state))
+    assert out3[0]["last_tool"].iloc[0] == "browse"
+    assert state.get == (6, "browse", 11)
