@@ -1660,43 +1660,103 @@ def _q_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL applyInPandasWithState job (custom stateful streaming,
-    §2.13): file-source readStream -> per-conversation running turn
-    count + latest non-null tool -> availableNow into a memory sink.
-    The events parquet is a single file => a single deterministic
-    micro-batch, so the final state row per conversation is exactly
-    (count(*), tool at max turn_idx among non-null) — ANSI-SQL
-    expressible. Multi-batch incremental state is exercised by
-    tests/test_streaming.py."""
+    §2.13), MULTI-BATCH: the events table is split by turn parity into
+    two parquet files committed sequentially; two availableNow streaming
+    runs share one checkpoint, so run 2 must RELOAD run 1's state store
+    and process only the second file. In-query gates (raise on failure):
+    (a) run 2 emits rows, (b) for every conversation present in both
+    runs, run 2's final count == run 1's final count + that
+    conversation's rows in file 2 — i.e. incremental state actually
+    survived the restart rather than being recomputed or reset. The
+    returned final state per conversation equals the full-table
+    aggregate (count(*), tool at max turn_idx among non-null), which is
+    ANSI-SQL expressible — so the multi-batch path is value-oracled,
+    not just rows-checked."""
+    import glob
     import shutil
     import tempfile
-    import uuid
 
     from kamae_spark.streaming.sessions import stream_turn_counter
 
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    stream_dir = tempfile.mkdtemp(prefix="kamae_stream_state_")
-    if os.path.isdir(path):
-        shutil.copytree(path, os.path.join(stream_dir, "events.parquet"))
-    else:
-        shutil.copy(path, stream_dir)
-    stream = (
-        spark.readStream.schema(schema).parquet(stream_dir)
-        .select(
-            F.col("user_id").cast("string").alias("conv_id"),
-            F.col("event_id").alias("turn_idx"),
-            # sparse "tool" column: only high-value events carry one
-            F.when(F.col("value") > 200.0, F.col("event_type")).alias("tool"),
+    ev = spark.read.parquet(path).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        # sparse "tool" column: only high-value events carry one
+        F.when(F.col("value") > 200.0, F.col("event_type")).alias("tool"),
+    )
+    half1 = ev.where(F.col("turn_idx") % 2 == 0)
+    half2 = ev.where(F.col("turn_idx") % 2 == 1)
+
+    root = tempfile.mkdtemp(prefix="kamae_stream_state_")
+    stream_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(stream_dir)
+
+    def commit_file(df, name: str) -> None:
+        tmp = os.path.join(root, f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stream_dir, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    def run_once(tag: str):
+        # memory sink cannot recover from a checkpoint; foreachBatch can,
+        # and appending each micro-batch's update rows to parquet keeps
+        # the whole run inspectable after termination
+        out_dir = os.path.join(root, f"out_{tag}")
+        stream = spark.readStream.schema(half1.schema).parquet(stream_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_turn_counter(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
         )
+        q.awaitTermination()
+        if not glob.glob(os.path.join(out_dir, "part-*")):
+            raise RuntimeError(
+                f"streaming_state: availableNow run {tag!r} emitted nothing"
+            )
+        # update mode emits one row per (conv, micro-batch); the final
+        # state is the max-count row (the running count is monotone)
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy("conv_id")
+            .agg(F.max(F.struct("n_turns_total", "last_tool")).alias("s"))
+            .select("conv_id", "s.n_turns_total", "s.last_tool")
+            .cache()
+        )
+
+    commit_file(half1, "b1")
+    s1 = run_once("b1")
+    s1.count()
+    commit_file(half2, "b2")
+    s2 = run_once("b2")
+    s2.count()
+
+    # gate: the second run really ran incrementally on surviving state
+    c2 = half2.groupBy("conv_id").agg(F.count("*").alias("f2_rows"))
+    carried = s1.alias("a").join(s2.alias("b"), "conv_id").join(c2, "conv_id")
+    bad = carried.where(
+        F.col("b.n_turns_total") != F.col("a.n_turns_total") + F.col("f2_rows")
+    ).count()
+    if carried.count() == 0 or bad:
+        raise RuntimeError(
+            f"streaming_state: state did not survive the restart "
+            f"({bad} conversations with wrong resumed counts)"
+        )
+
+    final = (
+        s1.unionByName(s2)
+        .groupBy("conv_id")
+        .agg(F.max(F.struct("n_turns_total", "last_tool")).alias("s"))
+        .select("conv_id", "s.n_turns_total", "s.last_tool")
     )
-    counted = stream_turn_counter(stream)
-    sink = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        counted.writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select("conv_id", "n_turns_total", "last_tool")
+    return final
 
 
 _STREAMING_STATE_SQL = """

@@ -69,9 +69,14 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_best(df, n: int = 2) -> float:
+def _time_best(df, n: int | None = None) -> float:
     """Best-of-n timed full executions (the host is a shared VM; single
-    samples vary ~3x with neighbor load)."""
+    samples vary ~3x with neighbor load). KAMAE_BENCH_TIMED_PASSES
+    overrides n — the amortizing-wall scaling phases run a single timed
+    pass (>=60s walls don't need best-of-2 and the repeat doubles the
+    suite's wall cost)."""
+    if n is None:
+        n = int(os.environ.get("KAMAE_BENCH_TIMED_PASSES", "2"))
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
@@ -157,46 +162,60 @@ def main() -> None:
         t.unpersist()
 
     # -- data-ops over synthetic corpora (scaling-run participants) --------
+    # KAMAE_BENCH_DATA_OPS=N is the legacy combined knob (minhash over N
+    # docs + IVF over 2N vecs); the per-op knobs below override it so the
+    # scaling protocol can run each op alone at its amortizing scale
     n_data = int(os.environ.get("KAMAE_BENCH_DATA_OPS", "0"))
-    if n_data:
+    n_mh = int(os.environ.get("KAMAE_BENCH_MINHASH_DOCS", str(n_data)))
+    n_vecs = int(os.environ.get("KAMAE_BENCH_IVF_VECS", str(n_data * 2)))
+    if n_mh:
         from kamae_spark.data.dedup import minhash_lsh_pairs
-        from kamae_spark.data.similarity import ivf_topk
-        from kamae_spark.sources.synth import documents_table, embeddings_table
+        from kamae_spark.sources.synth import documents_table
 
-        docs = documents_table(spark, n_docs=n_data).cache()
+        docs = documents_table(spark, n_docs=n_mh).cache()
         docs.count()
         mh = minhash_lsh_pairs(docs, "text", "doc_id", n=2, tokenizer="word",
                                threshold=0.6)
         _force(mh)  # warm
         queries["minhash_lsh_synth"] = _time_best(mh)
-        extras["synth_docs"] = n_data
+        extras["synth_docs"] = n_mh
         docs.unpersist()
 
-        # 2x the doc count: the assignment pass must be >=10s at 4N or
-        # fixed overheads (Arrow worker startup, stage barriers) dominate
-        # and the efficiency measurement is meaningless
-        n_vecs = n_data * 2
+    if n_vecs:
+        # the assignment pass must be >=10s at 4N or fixed overheads
+        # (Arrow worker startup, stage barriers) dominate and the
+        # efficiency measurement is meaningless; the query batch /
+        # centroid count are tunable so the scaling run can use a
+        # realistic batch (thousands of queries) at amortizing walls
+        from kamae_spark.data.similarity import ivf_topk
+        from kamae_spark.sources.synth import embeddings_table
+
+        n_q = int(os.environ.get("KAMAE_BENCH_IVF_QUERIES", "16"))
+        n_cent = int(os.environ.get("KAMAE_BENCH_IVF_CENTROIDS", "64"))
+        nprobe = int(os.environ.get("KAMAE_BENCH_IVF_NPROBE", "8"))
         emb = embeddings_table(spark, n_vecs=n_vecs, dim=64, n_clusters=256).cache()
         emb.count()
-        q8 = emb.where(emb.vec_id < 16)
+        q8 = emb.where(emb.vec_id < n_q)
         ivf = ivf_topk(emb, q8, "embedding", "vec_id", k=10,
-                       n_centroids=64, nprobe=8)
+                       n_centroids=n_cent, nprobe=nprobe)
         _force(ivf)  # warm (includes centroid fit)
         queries["ivf_topk_synth"] = _time_best(ivf)
         extras["synth_vecs"] = n_vecs
+        extras["ivf_queries"] = n_q
         emb.unpersist()
 
     # -- flagship over synthetic transcripts (~10x the events rows) -------
-    synth = transcripts_table(spark, n_convs=SYNTH_CONVS).cache()
-    n_synth = synth.count()
-    ann_s = annotations_table(spark, synth)
-    out_s = _feature_model(ann_s).transform(synth)
-    _force(out_s)  # warm (JIT, cache residency)
-    dt = _time_best(out_s)
-    queries["feature_pipeline_synth"] = dt
-    extras["synth_turns"] = n_synth
-    extras["turns_per_sec"] = round(n_synth / dt, 1)
-    synth.unpersist()
+    if SYNTH_CONVS:
+        synth = transcripts_table(spark, n_convs=SYNTH_CONVS).cache()
+        n_synth = synth.count()
+        ann_s = annotations_table(spark, synth)
+        out_s = _feature_model(ann_s).transform(synth)
+        _force(out_s)  # warm (JIT, cache residency)
+        dt = _time_best(out_s)
+        queries["feature_pipeline_synth"] = dt
+        extras["synth_turns"] = n_synth
+        extras["turns_per_sec"] = round(n_synth / dt, 1)
+        synth.unpersist()
 
     total = round(sum(queries.values()), 3)
     print(

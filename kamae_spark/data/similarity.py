@@ -143,13 +143,19 @@ def fit_centroids(
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(int(n_centroids), len(X))
     rng = np.random.RandomState(seed)
-    # kmeans++-style seeding on the sample
+    # kmeans++-style seeding on the sample. The best-similarity vector
+    # is maintained INCREMENTALLY (one X @ c per new centroid) — the
+    # naive re-stack of all centroids per iteration is O(K^2 * n * d),
+    # which at K=1024 costs ~10^14 flops; the running max is bit-
+    # identical (float max has no accumulation error) at O(K * n * d)
     cents = [X[rng.randint(len(X))]]
+    best = X @ cents[0]
     for _ in range(k - 1):
-        d2 = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
-        d2 = np.maximum(d2, 0.0)
+        d2 = np.maximum(1.0 - best, 0.0)
         p = d2 / d2.sum() if d2.sum() > 0 else None
-        cents.append(X[rng.choice(len(X), p=p)])
+        nxt = X[rng.choice(len(X), p=p)]
+        cents.append(nxt)
+        best = np.maximum(best, X @ nxt)
     C = np.stack(cents)
     for _ in range(int(iters)):
         assign = np.argmax(X @ C.T, axis=1)

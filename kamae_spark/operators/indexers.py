@@ -290,6 +290,7 @@ class StringIndexEstimator(Estimator):
                  mask_token: str | None = None, num_oov_indices: int = 1,
                  max_num_labels: int | None = DEFAULT_MAX_LABELS,
                  sample_fraction: float | None = None, seed: int = 42,
+                 vocab_join_threshold: int = VOCAB_JOIN_THRESHOLD,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
@@ -302,6 +303,7 @@ class StringIndexEstimator(Estimator):
             input_col=self.input_col, output_col=self.output_col,
             labels=labels, mask_token=self.mask_token,
             num_oov_indices=self.num_oov_indices,
+            vocab_join_threshold=self.vocab_join_threshold,
             input_dtype=self.input_dtype, output_dtype=self.output_dtype,
         )
 
@@ -315,7 +317,8 @@ class SharedStringIndexEstimator(Estimator):
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
                  max_num_labels: int | None = DEFAULT_MAX_LABELS,
-                 sample_fraction: float | None = None, seed: int = 42):
+                 sample_fraction: float | None = None, seed: int = 42,
+                 vocab_join_threshold: int = VOCAB_JOIN_THRESHOLD):
         if len(input_cols) != len(output_cols):
             raise ValueError("input_cols and output_cols must align")
 
@@ -328,6 +331,7 @@ class SharedStringIndexEstimator(Estimator):
             input_cols=list(self.input_cols), output_cols=list(self.output_cols),
             labels=labels, mask_token=self.mask_token,
             num_oov_indices=self.num_oov_indices,
+            vocab_join_threshold=self.vocab_join_threshold,
         )
 
 
@@ -340,7 +344,8 @@ class SharedStringIndexTransformer(StringIndexTransformer):
     @keyword_params
     def __init__(self, input_cols: Sequence[str] = (), output_cols: Sequence[str] = (),
                  labels: Sequence[str] = (), mask_token: str | None = None,
-                 num_oov_indices: int = 1):
+                 num_oov_indices: int = 1,
+                 vocab_join_threshold: int = VOCAB_JOIN_THRESHOLD):
         pass
 
     def _col_pairs(self) -> list[tuple[str, str]]:
@@ -440,7 +445,8 @@ class OneHotEncodeEstimator(Estimator):
                  string_order_type: str = "frequencyDesc",
                  mask_token: str | None = None, num_oov_indices: int = 1,
                  drop_unseen: bool = False, max_num_labels: int | None = DEFAULT_MAX_LABELS,
-                 sample_fraction: float | None = None, seed: int = 42):
+                 sample_fraction: float | None = None, seed: int = 42,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
     def fit(self, df: DataFrame) -> OneHotTransformer:
@@ -452,4 +458,5 @@ class OneHotEncodeEstimator(Estimator):
             input_col=self.input_col, output_col=self.output_col,
             labels=labels, mask_token=self.mask_token,
             num_oov_indices=self.num_oov_indices, drop_unseen=self.drop_unseen,
+            input_dtype=self.input_dtype, output_dtype=self.output_dtype,
         )

@@ -210,7 +210,8 @@ class MinMaxScaleEstimator(Estimator):
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
                  mask_value: float | None = None,
-                 sample_fraction: float | None = None, seed: int = 42):
+                 sample_fraction: float | None = None, seed: int = 42,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
     def fit(self, df: DataFrame) -> MinMaxScaleTransformer:
@@ -233,6 +234,7 @@ class MinMaxScaleEstimator(Estimator):
         return MinMaxScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             min=lo, max=hi, mask_value=self.mask_value,
+            input_dtype=self.input_dtype, output_dtype=self.output_dtype,
         )
 
 
@@ -398,7 +400,8 @@ class ImputeEstimator(Estimator):
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
                  strategy: str = "mean", mask_value: float | None = None,
-                 sample_fraction: float | None = None, seed: int = 42):
+                 sample_fraction: float | None = None, seed: int = 42,
+                 input_dtype: str | None = None, output_dtype: str | None = None):
         if strategy not in ("mean", "median"):
             raise ValueError("strategy must be mean|median")
 
@@ -410,4 +413,5 @@ class ImputeEstimator(Estimator):
         return ImputeTransformer(
             input_col=self.input_col, output_col=self.output_col,
             statistic=stat, mask_value=self.mask_value,
+            input_dtype=self.input_dtype, output_dtype=self.output_dtype,
         )

@@ -7,16 +7,29 @@ levels (local[8] vs local[32]) on the same deterministic input, in
 separate JVMs, and reporting throughput at both plus
 efficiency = (throughput_4N / throughput_N) / 4.
 
-Round 2 additions:
-- the scaling run covers the flagship window/as-of pipeline AND the
-  data-ops family (minhash LSH dedup, IVF ANN) over synthetic corpora
-- a second scale tier (KAMAE_SCALING_TIER2_CONVS conversations,
-  ~80M turns) runs once at 4N so BENCH history holds a two-point
-  throughput curve, not a single point
+Round-4 protocol — SELF-DEFENDING against shared-host neighbors (the
+round-3 lesson: neighbor load during the 4N phases deflated a 0.958
+pipeline to a measured 0.793; contamination is asymmetric because
+local[8] dodges neighbors on a 32-core box but local[32] cannot):
+
+- every phase (one bench.py JVM) runs in its own process session; a
+  monitor thread samples /proc/stat total busy jiffies AND the phase's
+  own session-tree jiffies every few seconds, so the NON-SELF host load
+  (in cores) is measured directly rather than eyeballed from loadavg
+- a phase whose non-self load exceeds the threshold (avg > 1.5 cores or
+  any sample window > 6 cores) is AUTO-DISCARDED and retried after a
+  backoff, up to a retry budget; every attempt (kept or discarded) is
+  recorded in BENCH/BASELINE.md with its load figures
+- flagship phases collect multiple clean JVM runs per level (median);
+  the amortizing data-ops phases (walls >= 60s: minhash at 4M docs, IVF
+  at 8M vecs x 1536 queries through 512 centroids) run once per level
+  with a single timed pass — long walls amortize stage barriers and
+  Python-worker startup, which dominated the round-3 short-wall
+  readings (minhash 0.461 at 17s, IVF 0.350 at 4.8s)
 
 Writes/updates BENCH/BASELINE.md. Run: python scripts/scaling_bench.py
-(~45-70 min; never run other Spark work concurrently — it skews the
-low-parallelism runs and inflates efficiency).
+(~50-90 min; do not run other Spark work concurrently — the guard will
+just discard those phases and retry, burning wall clock).
 """
 
 from __future__ import annotations
@@ -25,79 +38,233 @@ import json
 import os
 import subprocess
 import sys
+import threading
+import time
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_LO, N_HI = (int(x) for x in os.environ.get("KAMAE_SCALING_LEVELS", "8,32").split(","))
 CONVS = os.environ.get("KAMAE_SCALING_CONVS", "3000000")
 TIER2_CONVS = os.environ.get("KAMAE_SCALING_TIER2_CONVS", "5000000")
-DATA_OPS_N = os.environ.get("KAMAE_SCALING_DATA_OPS", "1000000")
-N_LO, N_HI = (int(x) for x in os.environ.get("KAMAE_SCALING_LEVELS", "8,32").split(","))
+MH_DOCS = os.environ.get("KAMAE_SCALING_MINHASH_DOCS", "4000000")
+IVF_VECS = os.environ.get("KAMAE_SCALING_IVF_VECS", "8000000")
+IVF_QUERIES = os.environ.get("KAMAE_SCALING_IVF_QUERIES", "1536")
+IVF_CENTROIDS = os.environ.get("KAMAE_SCALING_IVF_CENTROIDS", "512")
+IVF_NPROBE = os.environ.get("KAMAE_SCALING_IVF_NPROBE", "4")
 REPEATS = int(os.environ.get("KAMAE_SCALING_REPEATS", "3"))
+MAX_ATTEMPTS = int(os.environ.get("KAMAE_SCALING_MAX_ATTEMPTS", "3"))
+LOAD_AVG_MAX = float(os.environ.get("KAMAE_SCALING_LOAD_AVG_MAX", "1.5"))
+LOAD_PEAK_MAX = float(os.environ.get("KAMAE_SCALING_LOAD_PEAK_MAX", "6.0"))
+RETRY_SLEEP = int(os.environ.get("KAMAE_SCALING_RETRY_SLEEP", "45"))
 
-SCALED_QUERIES = ("feature_pipeline_synth", "minhash_lsh_synth", "ivf_topk_synth")
+HZ = os.sysconf("SC_CLK_TCK")
+NCPU = os.cpu_count() or 32
 
 
-def run(cpus: int, convs: str, data_ops: str) -> dict:
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    # user nice system idle iowait irq softirq steal
+    u, n, s, _idle, _iow, irq, sirq, steal = (int(x) for x in parts[1:9])
+    return u + n + s + irq + sirq + steal
+
+
+def _session_jiffies(sid: int) -> int:
+    """utime+stime of every live process in session `sid`, plus the
+    session leader's cutime/cstime (reaped children, e.g. recycled
+    Python workers). Slight self-undercount is possible (a dead
+    grandchild not yet aggregated) — that OVERSTATES neighbor load,
+    i.e. errs toward discarding, never toward accepting a dirty run."""
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'
+        rest = raw[raw.rfind(")") + 2:].split()
+        # rest[0]=state rest[3]=session utime=rest[11] stime=rest[12]
+        # cutime=rest[13] cstime=rest[14]  (man proc: fields 3..17)
+        try:
+            if int(rest[3]) != sid:
+                continue
+            # utime+stime of the live process PLUS cutime/cstime of its
+            # already-reaped children: a Python worker that dies mid-run
+            # would otherwise vanish from the live sum and read as a
+            # phantom "other load" spike in that window (cutime covers
+            # only reaped children, so there is no double count)
+            total += sum(int(rest[i]) for i in (11, 12, 13, 14))
+        except (IndexError, ValueError):
+            continue
+    return total
+
+
+class PhaseMonitor(threading.Thread):
+    """Samples non-self host load (in cores) while a phase runs."""
+
+    def __init__(self, sid: int, interval: float = 5.0):
+        super().__init__(daemon=True)
+        self.sid, self.interval = sid, interval
+        self.samples: list[tuple[float, float]] = []  # (t, other_cores)
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        begin = time.time()
+        t0, tot0, self0 = begin, _total_busy_jiffies(), _session_jiffies(self.sid)
+        while not self._halt.wait(self.interval):
+            t1, tot1, self1 = time.time(), _total_busy_jiffies(), _session_jiffies(self.sid)
+            dt = max(t1 - t0, 1e-9)
+            other = max((tot1 - tot0) - max(self1 - self0, 0), 0) / HZ / dt
+            self.samples.append((round(t1 - begin, 1), round(other, 2)))
+            t0, tot0, self0 = t1, tot1, self1
+
+    def stop(self) -> dict:
+        self._halt.set()
+        self.join(timeout=self.interval + 2)
+        vals = [v for _, v in self.samples] or [0.0]
+        return {
+            "other_cores_avg": round(sum(vals) / len(vals), 2),
+            "other_cores_max": round(max(vals), 2),
+            "n_samples": len(vals),
+        }
+
+
+def _bench_env(cpus: int, **knobs: str) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        KAMAE_BENCH_SYNTH_CONVS=convs,
         KAMAE_BENCH_ONLY="synth",
-        KAMAE_BENCH_DATA_OPS=data_ops,
         KAMAE_BENCH_DRIVER_MEM="48g",
+        KAMAE_BENCH_SYNTH_CONVS="0",
+        KAMAE_BENCH_DATA_OPS="0",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    env.update({k: str(v) for k, v in knobs.items()})
+    return env
 
 
-def median_run(cpus: int) -> dict:
-    """Median-of-N whole-JVM runs (by flagship wall): local-mode walls are
-    noisy (JIT, GC, page cache); the median is the defensible number."""
-    runs = sorted(
-        (run(cpus, CONVS, DATA_OPS_N) for _ in range(REPEATS)),
-        key=lambda r: r["queries"]["feature_pipeline_synth"],
-    )
+def run_phase(name: str, cpus: int, attempts_log: list, **knobs) -> dict:
+    """One load-guarded bench.py JVM. Auto-discards + retries attempts
+    whose non-self load breaches the thresholds; if every attempt is
+    dirty, keeps the least-loaded one and marks it contaminated."""
+    tried = []
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=_bench_env(cpus, **knobs),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, start_new_session=True,
+        )
+        mon = PhaseMonitor(proc.pid)
+        mon.start()
+        out, _ = proc.communicate(timeout=5400)
+        load = mon.stop()
+        if proc.returncode != 0:
+            raise RuntimeError(f"phase {name} local[{cpus}] bench failed rc={proc.returncode}")
+        result = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+        clean = (
+            load["other_cores_avg"] <= LOAD_AVG_MAX
+            and load["other_cores_max"] <= LOAD_PEAK_MAX
+        )
+        rec = {
+            "phase": name, "cpus": cpus, "attempt": attempt,
+            "verdict": "kept" if clean else "discarded (neighbor load)",
+            **load, "result": result,
+        }
+        tried.append(rec)
+        attempts_log.append(rec)
+        print(json.dumps({k: rec[k] for k in
+                          ("phase", "cpus", "attempt", "verdict",
+                           "other_cores_avg", "other_cores_max")}),
+              file=sys.stderr, flush=True)
+        if clean:
+            return result
+        time.sleep(RETRY_SLEEP)
+    best = min(tried, key=lambda r: r["other_cores_avg"])
+    best["verdict"] = "kept-CONTAMINATED (all attempts dirty)"
+    return best["result"]
+
+
+def median_phase(name: str, cpus: int, attempts_log: list, key: str, **knobs) -> dict:
+    """REPEATS clean JVM runs, median by the given query wall."""
+    runs = [
+        run_phase(f"{name}#{i + 1}", cpus, attempts_log, **knobs)
+        for i in range(REPEATS)
+    ]
+    runs.sort(key=lambda r: r["queries"][key])
     return runs[len(runs) // 2]
 
 
 def main() -> None:
-    r_lo = median_run(N_LO)
-    r_hi = median_run(N_HI)
-    tier2 = run(N_HI, TIER2_CONVS, "0")
+    t_start = time.time()
+    attempts: list[dict] = []
 
-    def eff(q: str) -> float:
-        return (r_lo["queries"][q] / r_hi["queries"][q]) / (N_HI / N_LO)
+    flag = dict(KAMAE_BENCH_SYNTH_CONVS=CONVS)
+    r_lo = median_phase("flagship", N_LO, attempts, "feature_pipeline_synth", **flag)
+    r_hi = median_phase("flagship", N_HI, attempts, "feature_pipeline_synth", **flag)
+    tier2 = run_phase("flagship-tier2", N_HI, attempts,
+                      KAMAE_BENCH_SYNTH_CONVS=TIER2_CONVS)
 
+    mh = dict(KAMAE_BENCH_MINHASH_DOCS=MH_DOCS, KAMAE_BENCH_TIMED_PASSES="1")
+    mh_lo = run_phase("minhash-amortized", N_LO, attempts, **mh)
+    mh_hi = run_phase("minhash-amortized", N_HI, attempts, **mh)
+
+    ivf = dict(
+        KAMAE_BENCH_IVF_VECS=IVF_VECS, KAMAE_BENCH_IVF_QUERIES=IVF_QUERIES,
+        KAMAE_BENCH_IVF_CENTROIDS=IVF_CENTROIDS,
+        KAMAE_BENCH_IVF_NPROBE=IVF_NPROBE, KAMAE_BENCH_TIMED_PASSES="1",
+    )
+    ivf_lo = run_phase("ivf-amortized", N_LO, attempts, **ivf)
+    ivf_hi = run_phase("ivf-amortized", N_HI, attempts, **ivf)
+
+    ratio = N_HI / N_LO
+
+    def eff(lo: dict, hi: dict, q: str) -> float:
+        return (lo["queries"][q] / hi["queries"][q]) / ratio
+
+    flag_eff = eff(r_lo, r_hi, "feature_pipeline_synth")
+    mh_eff = eff(mh_lo, mh_hi, "minhash_lsh_synth")
+    ivf_eff = eff(ivf_lo, ivf_hi, "ivf_topk_synth")
     tput_lo = r_lo["synth_turns"] / r_lo["queries"]["feature_pipeline_synth"]
     tput_hi = r_hi["synth_turns"] / r_hi["queries"]["feature_pipeline_synth"]
     tput_t2 = tier2["synth_turns"] / tier2["queries"]["feature_pipeline_synth"]
-    flagship_eff = eff("feature_pipeline_synth")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    per_query = "\n".join(
-        f"| {q} | {r_lo['queries'][q]:.3f} | {r_hi['queries'][q]:.3f} | {eff(q):.3f} |"
-        for q in SCALED_QUERIES if q in r_lo["queries"] and q in r_hi["queries"]
+    kept = [a for a in attempts if a["verdict"].startswith("kept")]
+    dirty = [a for a in attempts if not a["verdict"].startswith("kept")]
+    attempts_rows = "\n".join(
+        f"| {a['phase']} | local[{a['cpus']}] | {a['attempt']} | "
+        f"{a['other_cores_avg']} | {a['other_cores_max']} | {a['verdict']} |"
+        for a in attempts
     )
     md = f"""# BENCH/BASELINE — scaling efficiency (N vs 4N protocol)
 
 Measured {stamp}; identical deterministic inputs and code at both
-parallelism levels, separate JVMs, warm-pass timing (noop write), median
-of {REPEATS} whole-JVM runs per level.
+parallelism levels, separate JVMs, warm-pass timing (noop write).
+Flagship: median of {REPEATS} CLEAN whole-JVM runs per level. Data ops:
+one clean run per level at amortizing walls, single timed pass.
+
+**Load guard (self-defending protocol)**: every phase runs in its own
+process session; a monitor samples /proc/stat vs the session tree every
+5 s, yielding the NON-SELF host load in cores. Phases with avg
+non-self load > {LOAD_AVG_MAX} cores or any window > {LOAD_PEAK_MAX}
+cores were auto-discarded and retried ({len(dirty)} of
+{len(attempts)} attempts discarded this run). Every attempt is listed
+below — the kept rows are the measurement's clean-window evidence.
 
 Workloads:
 - flagship feature pipeline (lag/lead + rolling aggregates +
   role-frequency + backfill + sessionization + listwise + as-of union
   join) over {r_lo['synth_turns']:,} synthetic transcript turns
   ({CONVS} conversations, Zipf-skewed lengths)
-- minhash LSH near-dup pairs over {DATA_OPS_N} synthetic documents
+- minhash LSH near-dup pairs over {MH_DOCS} synthetic documents
   (word shingles, banded buckets, exact-jaccard verify)
-- IVF ANN top-10 over {int(DATA_OPS_N) * 2:,} synthetic 64-dim
-  embeddings (seeded k-means centroids, nprobe 8/64)
+- IVF ANN top-10 over {IVF_VECS} synthetic 64-dim embeddings,
+  {IVF_QUERIES}-query batch through {IVF_CENTROIDS} centroids at
+  nprobe {IVF_NPROBE} (salted two-phase rank)
 
 ## Flagship throughput
 
@@ -106,14 +273,15 @@ Workloads:
 | local[{N_LO}]  (N)  | {r_lo['queries']['feature_pipeline_synth']:.3f} | {tput_lo:,.0f} |
 | local[{N_HI}] (4N) | {r_hi['queries']['feature_pipeline_synth']:.3f} | {tput_hi:,.0f} |
 
-**Scaling efficiency = (throughput_4N / throughput_N) / {N_HI // N_LO} = {flagship_eff:.3f}**
+**Scaling efficiency = (throughput_4N / throughput_N) / {int(ratio)} = {flag_eff:.3f}**
 (north-rule gate: >= 0.8)
 
-## Per-workload walls and efficiency
+## Data-ops efficiency at amortizing walls
 
 | query | local[{N_LO}] sec | local[{N_HI}] sec | efficiency |
 |---|---|---|---|
-{per_query}
+| minhash_lsh_synth ({MH_DOCS} docs) | {mh_lo['queries']['minhash_lsh_synth']:.2f} | {mh_hi['queries']['minhash_lsh_synth']:.2f} | {mh_eff:.3f} |
+| ivf_topk_synth ({IVF_VECS} vecs, {IVF_QUERIES} queries) | {ivf_lo['queries']['ivf_topk_synth']:.2f} | {ivf_hi['queries']['ivf_topk_synth']:.2f} | {ivf_eff:.3f} |
 
 ## Scale-tier curve (local[{N_HI}], flagship)
 
@@ -125,12 +293,24 @@ Workloads:
 Round-over-round: compare BOTH tier rows — a regression that only shows
 past memory/shuffle inflection points is invisible at a single scale.
 
-Raw bench JSON:
+## Load log (every attempt, kept and discarded)
+
+| phase | level | attempt | other cores avg | other cores max | verdict |
+|---|---|---|---|---|---|
+{attempts_rows}
+
+Suite wall: {round((time.time() - t_start) / 60, 1)} min.
+
+Raw bench JSON (kept runs):
 
 ```json
 {json.dumps(r_lo)}
 {json.dumps(r_hi)}
 {json.dumps(tier2)}
+{json.dumps(mh_lo)}
+{json.dumps(mh_hi)}
+{json.dumps(ivf_lo)}
+{json.dumps(ivf_hi)}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -138,9 +318,10 @@ Raw bench JSON:
     print(json.dumps({
         "tput_lo": round(tput_lo), "tput_hi": round(tput_hi),
         "tput_tier2": round(tput_t2),
-        "efficiency_flagship": round(flagship_eff, 3),
-        **{f"efficiency_{q}": round(eff(q), 3) for q in SCALED_QUERIES
-           if q in r_lo["queries"] and q in r_hi["queries"]},
+        "efficiency_flagship": round(flag_eff, 3),
+        "efficiency_minhash": round(mh_eff, 3),
+        "efficiency_ivf": round(ivf_eff, 3),
+        "attempts": len(attempts), "discarded": len(dirty),
     }))
 
 

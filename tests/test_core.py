@@ -156,3 +156,77 @@ def test_checkpoint_every_long_chain(spark):
         plain.sort_values("c60").reset_index(drop=True),
         valved.sort_values("c60").reset_index(drop=True),
     )
+
+
+def test_pipeline_big_vocab_mid_dag(spark, tmp_path):
+    """A big-vocab StringIndexTransformer (build() -> None, per-stage
+    transform fallback) sitting BETWEEN fusible expression stages must
+    (a) produce the same values as the literal small-vocab path,
+    (b) leave the surrounding stages fused (the plan shows the
+    broadcast-join lookup, and downstream exprs still compute), and
+    (c) survive a fitted-pipeline save/load round trip including
+    vocab_join_threshold."""
+    from kamae_spark.core.pipeline import Pipeline, PipelineModel
+    from kamae_spark.operators.indexers import StringIndexEstimator
+    from kamae_spark.operators.math import AbsoluteValue, Sum
+
+    df = spark.createDataFrame(
+        [(f"w{i % 7}", float(i), -float(i)) for i in range(40)],
+        "s string, a double, b double",
+    )
+    mk = lambda thr: Pipeline([
+        AbsoluteValue(input_col="b", output_col="b_abs"),
+        StringIndexEstimator(
+            input_col="s", output_col="s_idx",
+            string_order_type="alphabeticalAsc",
+            vocab_join_threshold=thr,
+        ),
+        Sum(input_cols=["a", "b_abs"], output_col="a2"),
+    ])
+    # threshold 3 < 7 labels -> big-vocab join path; 100 -> literal map
+    big = mk(3).fit(df)
+    lit = mk(100).fit(df)
+    out_big = big.transform(df)
+    plan = out_big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows_big = sorted(map(tuple, out_big.select("s_idx", "a2", "b_abs").collect()))
+    rows_lit = sorted(map(tuple, lit.transform(df).select("s_idx", "a2", "b_abs").collect()))
+    assert rows_big == rows_lit
+
+    p = str(tmp_path / "bigvocab_model")
+    big.save(p)
+    reloaded = PipelineModel.load(p)
+    assert reloaded.stages[1].vocab_join_threshold == 3
+    rows_re = sorted(map(tuple, reloaded.transform(df).select("s_idx", "a2", "b_abs").collect()))
+    assert rows_re == rows_big
+
+
+def test_pipeline_fit_prunes_around_big_vocab(spark):
+    """Estimator-ancestor pruning + the big-vocab transform fallback
+    interact: a second estimator DOWNSTREAM of a big-vocab indexer must
+    fit on the indexed column's values (i.e. the fallback transform ran
+    during fit), and the fitted model must transform correctly."""
+    from kamae_spark.core.pipeline import Pipeline
+    from kamae_spark.operators.indexers import StringIndexEstimator
+    from kamae_spark.operators.scalers import StandardScaleEstimator
+
+    df = spark.createDataFrame(
+        [(f"k{i % 5}", float(i)) for i in range(20)],
+        "s string, x double",
+    )
+    model = Pipeline([
+        StringIndexEstimator(
+            input_col="s", output_col="s_idx",
+            string_order_type="alphabeticalAsc", vocab_join_threshold=2,
+        ),
+        StandardScaleEstimator(input_col="s_idx", output_col="s_z",
+                               input_dtype="double"),
+    ]).fit(df)
+    got = model.transform(df).select("s_z").toPandas()["s_z"]
+    import numpy as np
+
+    # s_idx of k0..k4 (alphabetical, offset 1) repeats over 20 rows:
+    # mean/std of the indexed values must be what the scaler fitted
+    idx = np.array([(i % 5) + 1 for i in range(20)], dtype=float)
+    want = (idx - idx.mean()) / idx.std(ddof=0)
+    assert np.allclose(sorted(got), sorted(want), atol=1e-9)
