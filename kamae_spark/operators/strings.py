@@ -126,7 +126,19 @@ class StringReplace(_StrIn):
             if not self.regex:
                 # escape a column-supplied literal pattern in-engine
                 pattern = F.regexp_replace(pattern, r"([\\\.\[\]\{\}\(\)\*\+\-\?\^\$\|])", r"\\$1")
-        repl = F.lit(self.replacement_constant) if self.replacement_constant is not None else next(it)
+        if self.replacement_constant is not None:
+            rep = self.replacement_constant
+            if not self.regex:
+                # Java replacement strings treat \ and $ specially
+                # (group refs); literal mode must replace verbatim
+                # (reference string_replace.py:221-260 semantics,
+                # tests/.../test_string_replace.py expected_df_2)
+                rep = rep.replace("\\", "\\\\").replace("$", "\\$")
+            repl: Column | str = F.lit(rep)
+        else:
+            repl = next(it)
+            if not self.regex:
+                repl = F.regexp_replace(repl, r"([\\\$])", r"\\$1")
         return F.regexp_replace(cols[0], pattern, repl)
 
 

@@ -103,12 +103,21 @@ def _session_jiffies(sid: int) -> int:
 
 
 class PhaseMonitor(threading.Thread):
-    """Samples non-self host load (in cores) while a phase runs."""
+    """Samples non-self host load (in cores) while a phase runs, AND the
+    phase's own consumed cores: a run can be poisoned two ways —
+    neighbors burning cores (other_cores high) or the host throttling
+    our session (self_cores far below the requested parallelism during
+    what should be a fully-parallel compute phase). Both are recorded;
+    the throttle check gates on the PEAK self-cores reached (a phase
+    has legitimately serial spans — generation, fit collects — so the
+    average is not a usable gate, but if the job NEVER reaches a
+    substantial fraction of its cores, the wall is not a parallelism
+    measurement)."""
 
     def __init__(self, sid: int, interval: float = 5.0):
         super().__init__(daemon=True)
         self.sid, self.interval = sid, interval
-        self.samples: list[tuple[float, float]] = []  # (t, other_cores)
+        self.samples: list[tuple[float, float, float]] = []  # (t, other, self)
         self._halt = threading.Event()
 
     def run(self) -> None:
@@ -117,18 +126,23 @@ class PhaseMonitor(threading.Thread):
         while not self._halt.wait(self.interval):
             t1, tot1, self1 = time.time(), _total_busy_jiffies(), _session_jiffies(self.sid)
             dt = max(t1 - t0, 1e-9)
-            other = max((tot1 - tot0) - max(self1 - self0, 0), 0) / HZ / dt
-            self.samples.append((round(t1 - begin, 1), round(other, 2)))
+            dself = max(self1 - self0, 0)
+            other = max((tot1 - tot0) - dself, 0) / HZ / dt
+            self.samples.append(
+                (round(t1 - begin, 1), round(other, 2), round(dself / HZ / dt, 2))
+            )
             t0, tot0, self0 = t1, tot1, self1
 
     def stop(self) -> dict:
         self._halt.set()
         self.join(timeout=self.interval + 2)
-        vals = [v for _, v in self.samples] or [0.0]
+        others = [o for _, o, _ in self.samples] or [0.0]
+        selfs = [s for _, _, s in self.samples] or [0.0]
         return {
-            "other_cores_avg": round(sum(vals) / len(vals), 2),
-            "other_cores_max": round(max(vals), 2),
-            "n_samples": len(vals),
+            "other_cores_avg": round(sum(others) / len(others), 2),
+            "other_cores_max": round(max(others), 2),
+            "self_cores_max": round(max(selfs), 2),
+            "n_samples": len(others),
         }
 
 
@@ -145,10 +159,44 @@ def _bench_env(cpus: int, **knobs: str) -> dict:
     return env
 
 
-def run_phase(name: str, cpus: int, attempts_log: list, **knobs) -> dict:
+STORE = os.path.join(REPO, "BENCH", "scaling_results.json")
+REDO = set(
+    p for p in os.environ.get("KAMAE_SCALING_REDO", "").split(",") if p
+)
+SELF_CORES_MIN_FRAC = float(os.environ.get("KAMAE_SCALING_SELF_MIN_FRAC", "0.7"))
+
+
+def _store_load() -> dict:
+    if os.path.exists(STORE):
+        with open(STORE) as f:
+            return json.load(f)
+    return {"phases": {}, "attempts": []}
+
+
+def _store_save(store: dict) -> None:
+    os.makedirs(os.path.dirname(STORE), exist_ok=True)
+    with open(STORE, "w") as f:
+        json.dump(store, f, indent=1)
+
+
+def run_phase(store: dict, name: str, cpus: int, **knobs) -> dict:
     """One load-guarded bench.py JVM. Auto-discards + retries attempts
-    whose non-self load breaches the thresholds; if every attempt is
-    dirty, keeps the least-loaded one and marks it contaminated."""
+    that are poisoned either way — neighbor load above threshold, or
+    our own session never reaching SELF_CORES_MIN_FRAC of the requested
+    cores (host CPU throttling: the wall then measures the throttle,
+    not the parallelism). If every attempt is dirty, keeps the
+    least-neighbor-loaded one and marks it contaminated.
+
+    Results persist per phase in BENCH/scaling_results.json: a rerun
+    skips phases already kept clean (so a contaminated or suspect phase
+    can be re-measured alone via KAMAE_SCALING_REDO=name1,name2 or
+    REDO=all without repeating the ~90-min suite)."""
+    key = f"{name}@local[{cpus}]"
+    prior = store["phases"].get(key)
+    if prior and prior.get("clean") and not ({"all", name, key} & REDO):
+        print(json.dumps({"phase": name, "cpus": cpus, "verdict": "cached"}),
+              file=sys.stderr, flush=True)
+        return prior["result"]
     tried = []
     for attempt in range(1, MAX_ATTEMPTS + 1):
         proc = subprocess.Popen(
@@ -164,33 +212,57 @@ def run_phase(name: str, cpus: int, attempts_log: list, **knobs) -> dict:
         if proc.returncode != 0:
             raise RuntimeError(f"phase {name} local[{cpus}] bench failed rc={proc.returncode}")
         result = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
-        clean = (
-            load["other_cores_avg"] <= LOAD_AVG_MAX
-            and load["other_cores_max"] <= LOAD_PEAK_MAX
+        # contention is about HEADROOM: neighbors only steal from us when
+        # other + self approaches the core count. A low-parallelism phase
+        # (local[8] on a 32-core box) tolerates sizable neighbor blips
+        # that would poison a local[32] phase, so the thresholds widen
+        # with the idle headroom the phase leaves
+        headroom = max(NCPU - cpus, 0)
+        avg_max = max(LOAD_AVG_MAX, 0.25 * headroom)
+        peak_max = max(LOAD_PEAK_MAX, 0.5 * headroom)
+        quiet = (
+            load["other_cores_avg"] <= avg_max
+            and load["other_cores_max"] <= peak_max
+        )
+        unthrottled = load["self_cores_max"] >= SELF_CORES_MIN_FRAC * cpus
+        clean = quiet and unthrottled
+        verdict = (
+            "kept" if clean
+            else "discarded (neighbor load)" if not quiet
+            else "discarded (self throttled)"
         )
         rec = {
             "phase": name, "cpus": cpus, "attempt": attempt,
-            "verdict": "kept" if clean else "discarded (neighbor load)",
-            **load, "result": result,
+            "verdict": verdict, **load, "result": result,
         }
         tried.append(rec)
-        attempts_log.append(rec)
+        store["attempts"].append(
+            {k: v for k, v in rec.items() if k != "result"}
+        )
         print(json.dumps({k: rec[k] for k in
                           ("phase", "cpus", "attempt", "verdict",
-                           "other_cores_avg", "other_cores_max")}),
+                           "other_cores_avg", "other_cores_max",
+                           "self_cores_max")}),
               file=sys.stderr, flush=True)
         if clean:
+            store["phases"][key] = {"clean": True, **rec}
+            _store_save(store)
             return result
         time.sleep(RETRY_SLEEP)
     best = min(tried, key=lambda r: r["other_cores_avg"])
-    best["verdict"] = "kept-CONTAMINATED (all attempts dirty)"
+    best["verdict"] += " -> kept-CONTAMINATED (all attempts dirty)"
+    store["phases"][key] = {"clean": False, **best}
+    store["attempts"].append(
+        {k: v for k, v in best.items() if k != "result"}
+    )
+    _store_save(store)
     return best["result"]
 
 
-def median_phase(name: str, cpus: int, attempts_log: list, key: str, **knobs) -> dict:
+def median_phase(store: dict, name: str, cpus: int, key: str, **knobs) -> dict:
     """REPEATS clean JVM runs, median by the given query wall."""
     runs = [
-        run_phase(f"{name}#{i + 1}", cpus, attempts_log, **knobs)
+        run_phase(store, f"{name}#{i + 1}", cpus, **knobs)
         for i in range(REPEATS)
     ]
     runs.sort(key=lambda r: r["queries"][key])
@@ -199,25 +271,26 @@ def median_phase(name: str, cpus: int, attempts_log: list, key: str, **knobs) ->
 
 def main() -> None:
     t_start = time.time()
-    attempts: list[dict] = []
+    store = _store_load()
 
     flag = dict(KAMAE_BENCH_SYNTH_CONVS=CONVS)
-    r_lo = median_phase("flagship", N_LO, attempts, "feature_pipeline_synth", **flag)
-    r_hi = median_phase("flagship", N_HI, attempts, "feature_pipeline_synth", **flag)
-    tier2 = run_phase("flagship-tier2", N_HI, attempts,
+    r_lo = median_phase(store, "flagship", N_LO, "feature_pipeline_synth", **flag)
+    r_hi = median_phase(store, "flagship", N_HI, "feature_pipeline_synth", **flag)
+    tier2 = run_phase(store, "flagship-tier2", N_HI,
                       KAMAE_BENCH_SYNTH_CONVS=TIER2_CONVS)
 
     mh = dict(KAMAE_BENCH_MINHASH_DOCS=MH_DOCS, KAMAE_BENCH_TIMED_PASSES="1")
-    mh_lo = run_phase("minhash-amortized", N_LO, attempts, **mh)
-    mh_hi = run_phase("minhash-amortized", N_HI, attempts, **mh)
+    mh_lo = run_phase(store, "minhash-amortized", N_LO, **mh)
+    mh_hi = run_phase(store, "minhash-amortized", N_HI, **mh)
 
     ivf = dict(
         KAMAE_BENCH_IVF_VECS=IVF_VECS, KAMAE_BENCH_IVF_QUERIES=IVF_QUERIES,
         KAMAE_BENCH_IVF_CENTROIDS=IVF_CENTROIDS,
         KAMAE_BENCH_IVF_NPROBE=IVF_NPROBE, KAMAE_BENCH_TIMED_PASSES="1",
     )
-    ivf_lo = run_phase("ivf-amortized", N_LO, attempts, **ivf)
-    ivf_hi = run_phase("ivf-amortized", N_HI, attempts, **ivf)
+    ivf_lo = run_phase(store, "ivf-amortized", N_LO, **ivf)
+    ivf_hi = run_phase(store, "ivf-amortized", N_HI, **ivf)
+    attempts = store["attempts"]
 
     ratio = N_HI / N_LO
 
@@ -237,7 +310,8 @@ def main() -> None:
     dirty = [a for a in attempts if not a["verdict"].startswith("kept")]
     attempts_rows = "\n".join(
         f"| {a['phase']} | local[{a['cpus']}] | {a['attempt']} | "
-        f"{a['other_cores_avg']} | {a['other_cores_max']} | {a['verdict']} |"
+        f"{a['other_cores_avg']} | {a['other_cores_max']} | "
+        f"{a.get('self_cores_max', '-')} | {a['verdict']} |"
         for a in attempts
     )
     md = f"""# BENCH/BASELINE — scaling efficiency (N vs 4N protocol)
@@ -295,8 +369,8 @@ past memory/shuffle inflection points is invisible at a single scale.
 
 ## Load log (every attempt, kept and discarded)
 
-| phase | level | attempt | other cores avg | other cores max | verdict |
-|---|---|---|---|---|---|
+| phase | level | attempt | other avg | other max | self max | verdict |
+|---|---|---|---|---|---|---|
 {attempts_rows}
 
 Suite wall: {round((time.time() - t_start) / 60, 1)} min.

@@ -319,3 +319,96 @@ def test_datetime_ms_extraction_non_utc(ny_session):
     df = ny_session.createDataFrame([("2024-06-01 12:00:00.123",)], "d string")
     out = DateTimeToUnixTimestamp(input_col="d", output_col="u", unit="ms").transform(df)
     assert out.first()["u"] == _epoch(2024, 6, 1, 12) * 1000 + 123
+
+
+# ---------------------------------------------------------------------------
+# StringReplace: reference parity vectors
+# (reference tests/kamae/spark/transformers/test_string_replace.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "x, pat, rep, want",
+    [
+        # literal column-based match with regex special chars
+        ("abc", "a", "x.", "x.bc"),
+        ("a", "b", "y!", "a"),
+        ("b", "b", "\\z", "\\z"),      # backslash in replacement stays literal
+        ("z", "b", "\\z", "z"),
+        ("b", "b", "*z", "*z"),
+        ("c", "d", "x*", "c"),
+        ("a.b.c", "a.", "x", "xb.c"),  # '.' matched literally
+        ("a?", "a?", "y", "y"),
+        ("b!b", "!b", "z", "bz"),
+        ("c*c", "c*", "x", "xc"),
+        ("", "", "x", "x"),            # empty literal pattern matches empty
+        ("", ".*", "x", ""),           # literal '.*' not found in ""
+        ("pay$", "y$", "_d", "pa_d"),  # '$' literal in pattern AND replacement
+        ("a$1b", "$1", "$2", "a$2b"),
+    ],
+)
+def test_string_replace_literal_column_matrix(spark, x, pat, rep, want):
+    from kamae_spark.operators.strings import StringReplace
+
+    df = spark.createDataFrame([(x, pat, rep)], "c1 string, c2 string, c3 string")
+    out = StringReplace(
+        input_cols=["c1", "c2", "c3"], output_col="o", regex=False
+    ).transform(df)
+    assert out.first()["o"] == want
+
+
+@pytest.mark.parametrize(
+    "x, pat, rep, want",
+    [
+        ("a.b.c", "a.*c", "x.", "x."),
+        ("a?", "a.", "y!", "y!"),
+        ("b!b", "b.", "\\\\z", "\\zb"),  # Java replacement: \\ -> literal \
+        ("c*c", "c.*c", "x*", "x*"),
+        ("", ".*", "x", "x"),            # regex .* matches empty string
+        ("", "^$", "x", "x"),
+    ],
+)
+def test_string_replace_regex_column_matrix(spark, x, pat, rep, want):
+    from kamae_spark.operators.strings import StringReplace
+
+    df = spark.createDataFrame([(x, pat, rep)], "c1 string, c2 string, c3 string")
+    out = StringReplace(
+        input_cols=["c1", "c2", "c3"], output_col="o", regex=True
+    ).transform(df)
+    assert out.first()["o"] == want
+
+
+def test_string_replace_literal_constant_dollar_and_backslash(spark):
+    """Constant-mode literal replacement with Java-special chars."""
+    from kamae_spark.operators.strings import StringReplace
+
+    df = spark.createDataFrame([("cost",), ("accost",)], "c1 string")
+    out = StringReplace(
+        input_cols=["c1"], output_col="o",
+        pattern_constant="cost", replacement_constant="$9\\x", regex=False,
+    ).transform(df)
+    assert [r["o"] for r in out.orderBy("c1").collect()] == ["ac$9\\x", "$9\\x"]
+
+
+def test_date_parse_time_parts_with_millis(spark):
+    from kamae_spark.operators.datetimes import DateParse
+
+    df = spark.createDataFrame([("2022-01-02 10:11:12.345",)], "d string")
+    for part, want in [("Hour", 10), ("Minute", 11), ("Second", 12),
+                       ("Millisecond", 345), ("DayOfYear", 2)]:
+        out = DateParse(input_col="d", output_col="p", date_part=part).transform(df)
+        assert out.first()["p"] == want, part
+
+
+def test_date_parse_nested_array_with_missing_default(spark):
+    """Reference behavior (test_date_parse.py *_w_missing suite): empty
+    strings map to default_value, elementwise through nested arrays."""
+    from kamae_spark.operators.datetimes import DateParse
+
+    df = spark.createDataFrame(
+        [([["2022-01-02", "", "2024-04-11"], ["", "2026-01-31", ""]],)],
+        "d array<array<string>>",
+    )
+    out = DateParse(
+        input_col="d", output_col="m", date_part="MonthOfYear", default_value=-1
+    ).transform(df)
+    assert out.first()["m"] == [[1, -1, 4], [-1, 1, -1]]
