@@ -1666,8 +1666,11 @@ def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     and process only the second file. In-query gates (raise on failure):
     (a) run 2 emits rows, (b) for every conversation present in both
     runs, run 2's final count == run 1's final count + that
-    conversation's rows in file 2 — i.e. incremental state actually
-    survived the restart rather than being recomputed or reset. The
+    conversation's rows in file 2, and (c) a sentinel conversation
+    injected ONLY into file 1 is absent from run 2's emitted rows — a
+    silent full recompute (checkpoint ignored, both files reprocessed
+    with fresh state) would satisfy (b) with identical totals but MUST
+    emit the sentinel, so (c) pins the incremental-read claim. The
     returned final state per conversation equals the full-table
     aggregate (count(*), tool at max turn_idx among non-null), which is
     ANSI-SQL expressible — so the multi-batch path is value-oracled,
@@ -1687,6 +1690,12 @@ def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     half1 = ev.where(F.col("turn_idx") % 2 == 0)
     half2 = ev.where(F.col("turn_idx") % 2 == 1)
+
+    # file-1-only sentinel: run 2, if genuinely incremental, never sees it
+    SENTINEL = "__kamae_f1_only_sentinel__"
+    half1 = half1.unionByName(
+        spark.createDataFrame([(SENTINEL, -1, None)], schema=half1.schema)
+    )
 
     root = tempfile.mkdtemp(prefix="kamae_stream_state_")
     stream_dir = os.path.join(root, "in")
@@ -1749,12 +1758,25 @@ def _q_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"streaming_state: state did not survive the restart "
             f"({bad} conversations with wrong resumed counts)"
         )
+    # gate (c): a full recompute of both files would re-emit the
+    # file-1-only sentinel in run 2's raw micro-batch output
+    leaked = (
+        spark.read.parquet(os.path.join(root, "out_b2"))
+        .where(F.col("conv_id") == SENTINEL)
+        .count()
+    )
+    if leaked:
+        raise RuntimeError(
+            "streaming_state: run 2 emitted the file-1-only sentinel — "
+            "the checkpoint was ignored and both files were reprocessed"
+        )
 
     final = (
         s1.unionByName(s2)
         .groupBy("conv_id")
         .agg(F.max(F.struct("n_turns_total", "last_tool")).alias("s"))
         .select("conv_id", "s.n_turns_total", "s.last_tool")
+        .where(F.col("conv_id") != SENTINEL)
     )
     return final
 

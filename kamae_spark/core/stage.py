@@ -158,6 +158,19 @@ class Estimator(Stage):
             return df.sample(fraction=frac, seed=getattr(self, "seed", 42))
         return df
 
+    def _fit_col(self, df: DataFrame, col: str) -> Column:
+        """Input column for fitting, with the optional ``input_dtype`` cast
+        applied BEFORE statistics are computed (reference estimators/
+        base.py:40-56): fitted stats must be computed over exactly the
+        values the fitted transformer will later see post-cast — e.g. a
+        double->float narrowing changes the mean the fit should record."""
+        c = F.col(col)
+        cast_to = getattr(self, "input_dtype", None)
+        if cast_to:
+            level, src = dt.column_info(df, col)
+            c = dt.nested_cast(c, level, cast_to, src=src)
+        return c
+
     def fit(self, df: DataFrame) -> Transformer:
         raise NotImplementedError
 

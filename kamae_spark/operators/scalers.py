@@ -103,7 +103,7 @@ class StandardScaleEstimator(Estimator):
     def fit(self, df: DataFrame) -> StandardScaleTransformer:
         src = self._fit_input(df)
         level, _ = column_info(df, self.input_col)
-        c = F.col(self.input_col)
+        c = self._fit_col(src, self.input_col)
         if level == 0:
             v = _masked(c.cast("double"), self.mask_value)
             row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
@@ -217,7 +217,7 @@ class MinMaxScaleEstimator(Estimator):
     def fit(self, df: DataFrame) -> MinMaxScaleTransformer:
         src = self._fit_input(df)
         level, _ = column_info(df, self.input_col)
-        c = F.col(self.input_col)
+        c = self._fit_col(src, self.input_col)
         if level == 0:
             v = _masked(c.cast("double"), self.mask_value)
             row = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
@@ -407,7 +407,7 @@ class ImputeEstimator(Estimator):
 
     def fit(self, df: DataFrame) -> ImputeTransformer:
         src = self._fit_input(df)
-        v = _masked(F.col(self.input_col).cast("double"), self.mask_value)
+        v = _masked(self._fit_col(src, self.input_col).cast("double"), self.mask_value)
         agg = F.mean(v) if self.strategy == "mean" else F.median(v)
         stat = _f(src.agg(agg.alias("st")).first()["st"])
         return ImputeTransformer(

@@ -119,26 +119,28 @@ class StringReplace(_StrIn):
     def fn(self, *cols: Column) -> Column:
         it = iter(cols[1:])
         if self.pattern_constant is not None:
-            pat = self.pattern_constant if self.regex else re.escape(self.pattern_constant)
+            if self.regex:
+                # reference maps an empty regex pattern to "^$"
+                # (string_replace.py:253-255)
+                pat = self.pattern_constant if self.pattern_constant else "^$"
+            else:
+                pat = re.escape(self.pattern_constant)
             pattern: Column | str = F.lit(pat)
         else:
             pattern = next(it)
-            if not self.regex:
+            if self.regex:
+                pattern = F.when(pattern == F.lit(""), F.lit("^$")).otherwise(pattern)
+            else:
                 # escape a column-supplied literal pattern in-engine
+                # (reference escapes every non-alnum char: string_replace.py:245-248)
                 pattern = F.regexp_replace(pattern, r"([\\\.\[\]\{\}\(\)\*\+\-\?\^\$\|])", r"\\$1")
+        # Replacement is passed RAW in both modes (reference
+        # string_replace.py:243-258): Java replacement semantics apply,
+        # so "\\z" -> "\z" and "$1" is a group ref even when regex=False.
         if self.replacement_constant is not None:
-            rep = self.replacement_constant
-            if not self.regex:
-                # Java replacement strings treat \ and $ specially
-                # (group refs); literal mode must replace verbatim
-                # (reference string_replace.py:221-260 semantics,
-                # tests/.../test_string_replace.py expected_df_2)
-                rep = rep.replace("\\", "\\\\").replace("$", "\\$")
-            repl: Column | str = F.lit(rep)
+            repl: Column | str = F.lit(self.replacement_constant)
         else:
             repl = next(it)
-            if not self.regex:
-                repl = F.regexp_replace(repl, r"([\\\$])", r"\\$1")
         return F.regexp_replace(cols[0], pattern, repl)
 
 

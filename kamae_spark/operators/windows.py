@@ -49,8 +49,14 @@ def order_cols(spec: Sequence[str]) -> list[Column]:
 
 
 def make_window(
-    partition_by: Sequence[str], order_by: Sequence[str] | None = None
+    partition_by: Sequence[str] | str, order_by: Sequence[str] | str | None = None
 ) -> WindowSpec:
+    # accept a bare column name: iterating a str as chars would silently
+    # build a window over nonsense single-letter columns
+    if isinstance(partition_by, str):
+        partition_by = (partition_by,)
+    if isinstance(order_by, str):
+        order_by = (order_by,)
     w = Window.partitionBy(*[F.col(c) for c in partition_by])
     if order_by:
         w = w.orderBy(*order_cols(order_by))

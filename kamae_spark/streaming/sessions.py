@@ -13,6 +13,15 @@ sessionization maps onto Spark's native streaming primitives:
 
 Both consume the same transcript schema as the batch path, so a batch
 pipeline's features can be maintained incrementally.
+
+STATE SCHEMA VERSION 2 (checkpoint compatibility): the
+``stream_turn_counter`` state struct gained a third field
+(``last_tool_turn``) — a stream restarted against a checkpoint written
+by the v1 two-field schema will FAIL state deserialization. There is no
+in-place migration for ``applyInPandasWithState`` state; discard old
+checkpoints (or run the old pipeline to drain, then cut over) when
+upgrading across this boundary. ``TURN_STATE_VERSION`` below marks the
+current version for consumers to pin against.
 """
 
 from __future__ import annotations
@@ -60,6 +69,10 @@ def stream_sessionize(
         )
     )
 
+
+# Bumped whenever _TURN_STATE_SCHEMA changes shape; checkpoints written
+# under a different version must be discarded (see module docstring).
+TURN_STATE_VERSION = 2
 
 _TURN_STATE_SCHEMA = T.StructType(
     [

@@ -332,8 +332,10 @@ def test_datetime_ms_extraction_non_utc(ny_session):
         # literal column-based match with regex special chars
         ("abc", "a", "x.", "x.bc"),
         ("a", "b", "y!", "a"),
-        ("b", "b", "\\z", "\\z"),      # backslash in replacement stays literal
-        ("z", "b", "\\z", "z"),
+        # replacement is RAW even in literal mode (Java semantics):
+        # "\\z" -> "\z" (reference expected_df_2)
+        ("b", "b", "\\\\z", "\\z"),
+        ("z", "b", "\\\\z", "z"),
         ("b", "b", "*z", "*z"),
         ("c", "d", "x*", "c"),
         ("a.b.c", "a.", "x", "xb.c"),  # '.' matched literally
@@ -342,8 +344,8 @@ def test_datetime_ms_extraction_non_utc(ny_session):
         ("c*c", "c*", "x", "xc"),
         ("", "", "x", "x"),            # empty literal pattern matches empty
         ("", ".*", "x", ""),           # literal '.*' not found in ""
-        ("pay$", "y$", "_d", "pa_d"),  # '$' literal in pattern AND replacement
-        ("a$1b", "$1", "$2", "a$2b"),
+        ("pay$", "y$", "_d", "pa_d"),  # '$' literal in the PATTERN is escaped
+        ("a$1b", "$1", "x", "axb"),
     ],
 )
 def test_string_replace_literal_column_matrix(spark, x, pat, rep, want):
@@ -365,6 +367,8 @@ def test_string_replace_literal_column_matrix(spark, x, pat, rep, want):
         ("c*c", "c.*c", "x*", "x*"),
         ("", ".*", "x", "x"),            # regex .* matches empty string
         ("", "^$", "x", "x"),
+        ("", "", "x", "x"),              # empty regex pattern -> "^$" (ref :253)
+        ("abc", "", "x", "abc"),         # "^$" never matches non-empty input
     ],
 )
 def test_string_replace_regex_column_matrix(spark, x, pat, rep, want):
@@ -378,15 +382,16 @@ def test_string_replace_regex_column_matrix(spark, x, pat, rep, want):
 
 
 def test_string_replace_literal_constant_dollar_and_backslash(spark):
-    """Constant-mode literal replacement with Java-special chars."""
+    """Constant-mode literal pattern; replacement stays RAW (Java
+    semantics, reference string_replace.py:243-258): "\\\\x9" -> "\\x9"."""
     from kamae_spark.operators.strings import StringReplace
 
     df = spark.createDataFrame([("cost",), ("accost",)], "c1 string")
     out = StringReplace(
         input_cols=["c1"], output_col="o",
-        pattern_constant="cost", replacement_constant="$9\\x", regex=False,
+        pattern_constant="cost", replacement_constant="\\\\x9", regex=False,
     ).transform(df)
-    assert [r["o"] for r in out.orderBy("c1").collect()] == ["ac$9\\x", "$9\\x"]
+    assert [r["o"] for r in out.orderBy("c1").collect()] == ["ac\\x9", "\\x9"]
 
 
 def test_date_parse_time_parts_with_millis(spark):
