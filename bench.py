@@ -69,20 +69,90 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_best(df, n: int | None = None) -> float:
-    """Best-of-n timed full executions (the host is a shared VM; single
-    samples vary ~3x with neighbor load). KAMAE_BENCH_TIMED_PASSES
-    overrides n — the amortizing-wall scaling phases run a single timed
-    pass (>=60s walls don't need best-of-2 and the repeat doubles the
-    suite's wall cost)."""
+# ---------------------------------------------------------------------------
+# Load-clean median timing (round-5 protocol). Single-shot walls on this
+# shared host have swung +/-20-40% on unchanged code for three rounds,
+# poisoning round-over-round comparison. Each timed pass now measures the
+# NON-SELF host load over its own window (total /proc/stat busy jiffies
+# minus this process tree's jiffies); passes with neighbor load above
+# threshold are discarded and retried, and the reported figure is the
+# median of the clean passes. KAMAE_BENCH_TIMED_PASSES=1 (the scaling
+# phases, which are load-guarded one level up by scripts/scaling_bench.py)
+# keeps the old single-pass behavior.
+# ---------------------------------------------------------------------------
+
+_HZ = os.sysconf("SC_CLK_TCK")
+_LOAD_AVG_MAX = float(os.environ.get("KAMAE_BENCH_LOAD_AVG_MAX", "1.5"))
+_EXTRA_RETRIES = int(os.environ.get("KAMAE_BENCH_RETRIES", "4"))
+_load_log: dict[str, list] = {}
+
+
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    u, n, s, _idle, _iow, irq, sirq, steal = (int(x) for x in parts[1:9])
+    return u + n + s + irq + sirq + steal
+
+
+def _tree_jiffies(root_pid: int) -> int:
+    """utime+stime+cutime+cstime over this process and all live
+    descendants (the pyspark JVM and its Python workers are children of
+    bench.py). cutime/cstime cover already-reaped children, so a worker
+    dying mid-pass does not read as a phantom neighbor spike."""
+    total = 0
+    stack = [root_pid]
+    while stack:
+        pid = stack.pop()
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+            rest = raw[raw.rfind(")") + 2:].split()
+            total += sum(int(rest[i]) for i in (11, 12, 13, 14))
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{tid}/children") as cf:
+                    stack += [int(c) for c in cf.read().split()]
+        except (OSError, ValueError, IndexError):
+            continue
+    return total
+
+
+def _timed_pass(df) -> tuple[float, float]:
+    """One forced execution; returns (wall_sec, neighbor_cores_avg)."""
+    b0, s0 = _total_busy_jiffies(), _tree_jiffies(os.getpid())
+    t0 = time.perf_counter()
+    _force(df)
+    wall = time.perf_counter() - t0
+    b1, s1 = _total_busy_jiffies(), _tree_jiffies(os.getpid())
+    other = max(((b1 - b0) - (s1 - s0)) / _HZ / wall, 0.0)
+    return wall, other
+
+
+def _time_best(df, name: str = "?", n: int | None = None) -> float:
+    """Median of n load-clean timed passes (see protocol note above).
+    Every pass's (wall, neighbor-load, verdict) is recorded in the
+    printed JSON's bench_load field — evidence, not just a number."""
     if n is None:
-        n = int(os.environ.get("KAMAE_BENCH_TIMED_PASSES", "2"))
-    best = float("inf")
-    for _ in range(n):
+        n = int(os.environ.get("KAMAE_BENCH_TIMED_PASSES", "3"))
+    if n <= 1:
         t0 = time.perf_counter()
         _force(df)
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        return round(time.perf_counter() - t0, 3)
+    clean: list[float] = []
+    log = _load_log.setdefault(name, [])
+    for _ in range(n + _EXTRA_RETRIES):
+        wall, other = _timed_pass(df)
+        ok = other <= _LOAD_AVG_MAX
+        log.append([round(wall, 3), round(other, 2),
+                    "kept" if ok else "discarded"])
+        if ok:
+            clean.append(wall)
+            if len(clean) >= n:
+                break
+    # all passes dirty: fall back to every wall, flagged in the log
+    walls = sorted(clean or [w for w, _, _ in log])
+    if not clean:
+        log.append([None, None, "ALL-DIRTY (median of dirty walls)"])
+    return round(walls[len(walls) // 2], 3)
 
 
 def _feature_model(ann):
@@ -136,7 +206,7 @@ def main() -> None:
                 continue
             df = qmap[name](spark, SF_DIR)
             df.count()  # warm: parquet footer reads, plan analysis
-            queries[name] = _time_best(df)
+            queries[name] = _time_best(df, name)
 
         # minhash with the PRODUCTION S-curve banding (rounds 1-2 measured
         # this setting; the driver query now uses one-row-per-band for its
@@ -148,7 +218,7 @@ def main() -> None:
         mh_prod = _mh(d, "text", "doc_id", n=2, num_perm=64, bands=8,
                       threshold=0.6, tokenizer="word")
         mh_prod.count()  # warm
-        queries["minhash_lsh"] = _time_best(mh_prod)
+        queries["minhash_lsh"] = _time_best(mh_prod, "minhash_lsh")
 
         # -- flagship end-to-end over events-derived transcripts -----------
         t = entrymod._transcripts(spark, SF_DIR).cache()
@@ -157,7 +227,7 @@ def main() -> None:
         model = _feature_model(ann)
         out = model.transform(t)
         _force(out)  # warm
-        queries["feature_pipeline_events"] = _time_best(out)
+        queries["feature_pipeline_events"] = _time_best(out, "feature_pipeline_events")
         extras["events_turns"] = n_events
         t.unpersist()
 
@@ -177,7 +247,7 @@ def main() -> None:
         mh = minhash_lsh_pairs(docs, "text", "doc_id", n=2, tokenizer="word",
                                threshold=0.6)
         _force(mh)  # warm
-        queries["minhash_lsh_synth"] = _time_best(mh)
+        queries["minhash_lsh_synth"] = _time_best(mh, "minhash_lsh_synth")
         extras["synth_docs"] = n_mh
         docs.unpersist()
 
@@ -199,10 +269,41 @@ def main() -> None:
         ivf = ivf_topk(emb, q8, "embedding", "vec_id", k=10,
                        n_centroids=n_cent, nprobe=nprobe)
         _force(ivf)  # warm (includes centroid fit)
-        queries["ivf_topk_synth"] = _time_best(ivf)
+        queries["ivf_topk_synth"] = _time_best(ivf, "ivf_topk_synth")
         extras["synth_vecs"] = n_vecs
         extras["ivf_queries"] = n_q
         emb.unpersist()
+
+    # -- big-vocab StringIndex: fit + broadcast-join transform ------------
+    # 2M distinct labels against the 1M max_num_labels default exercises
+    # the cap-boundary ordering (uniform counts -> the tie-break by label
+    # decides which million survive) AND the broadcast-join transform
+    # tier at bench scale (VERDICT r4 #7). 0 disables.
+    n_vocab = int(os.environ.get("KAMAE_BENCH_VOCAB_LABELS",
+                                 "0" if synth_only else "2000000"))
+    if n_vocab:
+        from pyspark.sql import functions as F
+
+        from kamae_spark.operators.indexers import StringIndexEstimator
+
+        base = spark.range(n_vocab * 5).select(
+            F.concat(
+                F.lit("lbl_"),
+                F.pmod(F.xxhash64("id"), F.lit(n_vocab)).cast("string"),
+            ).alias("label")
+        ).cache()
+        base.count()
+        t0 = time.perf_counter()
+        vocab_model = StringIndexEstimator(
+            input_col="label", output_col="label_idx"
+        ).fit(base)
+        extras["vocab_fit_sec"] = round(time.perf_counter() - t0, 3)
+        extras["vocab_labels_distinct"] = n_vocab
+        extras["vocab_labels_kept"] = len(vocab_model.labels)
+        out_v = vocab_model.transform(base)
+        _force(out_v)  # warm (broadcast build)
+        queries["vocab_index_synth"] = _time_best(out_v, "vocab_index_synth")
+        base.unpersist()
 
     # -- flagship over synthetic transcripts (~10x the events rows) -------
     if SYNTH_CONVS:
@@ -211,7 +312,7 @@ def main() -> None:
         ann_s = annotations_table(spark, synth)
         out_s = _feature_model(ann_s).transform(synth)
         _force(out_s)  # warm (JIT, cache residency)
-        dt = _time_best(out_s)
+        dt = _time_best(out_s, "feature_pipeline_synth")
         queries["feature_pipeline_synth"] = dt
         extras["synth_turns"] = n_synth
         extras["turns_per_sec"] = round(n_synth / dt, 1)
@@ -228,6 +329,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 **extras,
+                **({"bench_load": _load_log} if _load_log else {}),
             }
         )
     )

@@ -9,11 +9,14 @@ without the networkx dependency:
 - fit applies only stages that are ancestors of a not-yet-fitted
   estimator (reference's one optimizer rule, pipeline.py:100-178)
 - transform compiles the transformer chain into BATCHED ``select``s:
-  consecutive pure-projection stages whose inputs are already
-  materialized fuse into one select, so a 500-stage pipeline produces a
+  consecutive pure-projection stages fuse into one select — dependent
+  stages included, via Spark's lateral column aliases (depth-capped at
+  _MAX_LCA_DEPTH per select) — so a 500-stage pipeline produces a
   handful of Project nodes instead of 500 ``withColumn``s (analyzer
   O(n^2) avoidance; Catalyst CollapseProject + whole-stage codegen then
-  see one flat projection)
+  see one flat projection). Stage expressions are built against a
+  schema-only virtual frame so per-stage validation never re-analyzes
+  the accumulated plan.
 - save/load: one JSON spec per pipeline (stages + params, including
   fitted state such as vocab arrays / means), reference analogue:
   pipeline.py:193-239, pipeline_model.py:62-79
@@ -26,6 +29,7 @@ import os
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
 
 from kamae_spark.core.stage import Estimator, Stage, Transformer
 
@@ -81,45 +85,139 @@ def _ancestor_indices(stages: list[Stage], targets: Iterable[int]) -> set[int]:
     return out
 
 
+# max chained lateral-alias depth per fused select; comfortably under
+# the analyzer's maxIterations=100 iterative-resolution budget
+_MAX_LCA_DEPTH = 40
+
+
 def _fused_transform(
     df: DataFrame, transformers: list[Transformer],
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Apply transformers with select-fusion.
 
-    A batch of pending (alias -> Column) exprs is flushed into one
-    ``select("*", ...)`` whenever the next stage needs a pending column
-    (a select cannot reference an alias defined in the same select) or
-    is not expressible as a projection.
+    ALL consecutive pure-projection stages fuse into ONE
+    ``select("*", ...)`` — including stages that consume a column
+    produced earlier in the same batch: Spark's lateral column aliases
+    (3.4+, on by default) let a select expression reference an alias
+    defined earlier in the SAME select, so a 500-stage dependent chain
+    compiles to a single Project instead of 500 chained selects (whose
+    per-select re-analysis is the O(n^2) analyzer wall of SURVEY.md §7
+    risk 4; measured 110s for 500 chained stages pre-LCA, <10s fused).
 
-    ``checkpoint_every``: lineage-truncation valve for VERY long
-    pipelines (hundreds of dependent stages). Every N flushes the plan
-    is cut with ``localCheckpoint`` so Catalyst analysis/optimization
-    cost stays bounded instead of growing superlinearly with plan depth
-    (SURVEY.md §7 risk 4 — the reference hits the same wall through
-    thousands of withColumns). Fused selects make this rarely needed;
-    leave None unless analysis time is observed to dominate."""
+    Stages build their expressions against a MINIMAL schema-only frame:
+    an empty LocalRelation carrying ONLY the stage's input columns
+    (with their true types, whether base columns or pending aliases).
+    This keeps per-stage cost O(|stage inputs|): building against the
+    real accumulated frame would eagerly re-analyze the growing
+    lateral-alias plan once per stage, and a full-schema virtual frame
+    pays O(|all columns|) schema serialization per stage — both are the
+    O(n^2) analyzer wall this function exists to avoid. Pending-alias
+    types are resolved LAZILY: only when a later stage actually reads a
+    pending column, and then the whole untyped backlog resolves in one
+    LCA select — a breadth-only pipeline never pays for typing at all.
+    Measured on a 500-stage DEPENDENT chain: per-stage selects 110s+
+    (and the old lazy-checkpoint valve dies in task serialization with
+    StackOverflowError), full-schema virtual frame 87s, this scheme
+    ~54s build = ~0.1s/stage LINEAR (py4j + one type-resolution
+    analysis per stage); 500 independent stages: ~20s, one Project.
+    Builds may only reference columns they declare in
+    ``input_columns`` — already the pipeline's dependency contract
+    (toposort runs on the same declaration).
+
+    Lateral-alias resolution is ITERATIVE in the analyzer (one rule
+    iteration per chained-reference layer, hard-capped by
+    spark.sql.analyzer.maxIterations = 100), so each pending alias's
+    lateral DEPTH is tracked and the batch flushes before a chain
+    exceeds ``_MAX_LCA_DEPTH`` — a 500-stage dependent chain compiles
+    to ~13 selects of 40 laterally-chained exprs each instead of one
+    unanalyzable select or 500 O(n^2)-analysis selects.
+
+    Flushes happen only at non-projection stages (custom ``transform``
+    overrides: joins, Python paths). ``checkpoint_every``: every N
+    flushes the plan is cut with an EAGER ``localCheckpoint`` — a
+    lineage/analysis valve for pipelines with hundreds of
+    non-projection stages (eager because a lazy checkpoint leaves the
+    full lineage in the task closure: a 500-select chain then dies in
+    task serialization with StackOverflowError before any truncation
+    happens)."""
+    spark = df.sparkSession
     pending: dict[str, Any] = {}
+    depth: dict[str, int] = {}  # lateral-reference depth per pending alias
+    vfields: dict[str, Any] = {}  # name -> StructField of TYPED columns
+    untyped: dict[str, None] = {}  # pending aliases awaiting type resolution
+    untyped_ins: set[str] = set()  # columns the untyped exprs may reference
     flushes = 0
+
+    def reset_fields() -> None:
+        vfields.clear()
+        untyped.clear()
+        untyped_ins.clear()
+        vfields.update({f.name: f for f in df.schema.fields})
+
+    reset_fields()
+
+    def ensure_types(cols) -> None:
+        """Resolve the types of untyped pending aliases — lazily, only
+        when a later stage actually reads one, and for the WHOLE untyped
+        backlog in one LCA select (insertion order is dependency order,
+        so untyped-on-untyped references resolve laterally). A breadth-
+        only pipeline (no stage reads a pending column) never pays."""
+        if not any(c in untyped for c in cols):
+            return
+        refs = [vfields[c] for c in sorted(untyped_ins) if c in vfields]
+        frame = spark.createDataFrame([], StructType(refs))
+        fields = frame.select(
+            *[pending[n].alias(n) for n in untyped]
+        ).schema.fields
+        vfields.update({f.name: f for f in fields})
+        untyped.clear()
+        untyped_ins.clear()
+
+    def minimal(cols) -> DataFrame:
+        # empty frame carrying just these columns' true types
+        known = [vfields[c] for c in dict.fromkeys(cols) if c in vfields]
+        return spark.createDataFrame([], StructType(known))
 
     def flush() -> None:
         nonlocal df, flushes
         if pending:
             df = df.select("*", *[c.alias(n) for n, c in pending.items()])
             pending.clear()
+            depth.clear()
+            reset_fields()
             flushes += 1
             if checkpoint_every and flushes % checkpoint_every == 0:
-                df = df.localCheckpoint(eager=False)
+                df = df.localCheckpoint(eager=True)
 
     for t in transformers:
-        if any(c in pending for c in t.input_columns):
+        ins = t.input_columns
+        d = 1 + max((depth[c] for c in ins if c in depth), default=0)
+        # a window expression cannot reference a lateral alias
+        # (LATERAL_COLUMN_ALIAS_IN_WINDOW): window stages whose inputs
+        # (incl. partition/order keys) are pending force a flush first;
+        # deep dependent chains flush to stay under the analyzer's
+        # iterative-resolution budget
+        if any(c in pending for c in ins) and (
+            not getattr(t, "lca_fuse", True) or d > _MAX_LCA_DEPTH
+        ):
             flush()
-        exprs = t.build(df)
+            d = 1
+        if any(c in pending for c in ins):
+            ensure_types(ins)
+            vdf = minimal(ins)
+        else:
+            vdf = df
+        exprs = t.build(vdf)
         if exprs is None:
             flush()
             df = t.transform(df)
         else:
             pending.update(exprs)
+            for name in exprs:
+                depth[name] = d
+                untyped[name] = None
+            untyped_ins.update(ins)
     flush()
     return df
 

@@ -97,7 +97,16 @@ class Transformer(Stage):
     elements on the way in / out (reference: spark_operation.py:128-206;
     casting composes into the expression — no temp columns needed because
     exprs never mutate the source column).
+
+    ``lca_fuse``: whether this stage's built expressions may reference
+    columns produced earlier in the SAME fused select via Spark's
+    lateral column aliases. True for plain expressions; window-function
+    stages set False (Spark forbids a lateral alias reference INSIDE a
+    window expression: LATERAL_COLUMN_ALIAS_IN_WINDOW), making the
+    pipeline flush the pending batch first.
     """
+
+    lca_fuse: bool = True
 
     def build(self, df: DataFrame) -> dict[str, Column] | None:
         return None

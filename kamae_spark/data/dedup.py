@@ -246,7 +246,17 @@ def _bucket_pairs(
     )
     # pairing by array position can emit (x, x) when the id column has
     # duplicate values; the self-join contract was strict id_a < id_b
-    return out.where(F.col("id_a") != F.col("id_b")).distinct()
+    out = out.where(F.col("id_a") != F.col("id_b"))
+    # cross-band duplicates: dedupe on the id PAIR, not the whole row —
+    # whole-row distinct would hash-partition on the payload columns too,
+    # shuffling (and hashing) two embedding vectors per candidate pair;
+    # payloads are functionally dependent on the ids so any_value is exact
+    if payload:
+        return out.groupBy("id_a", "id_b").agg(
+            *[F.first(f"{c}_a").alias(f"{c}_a") for c in payload],
+            *[F.first(f"{c}_b").alias(f"{c}_b") for c in payload],
+        )
+    return out.distinct()
 
 
 def minhash_band_plan(num_perm: int, threshold: float) -> int:

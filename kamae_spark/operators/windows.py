@@ -76,7 +76,37 @@ _AGGS = {
 }
 
 
-class Lag(Transformer):
+def _as_seq(v) -> tuple:
+    return (v,) if isinstance(v, str) else tuple(v or ())
+
+
+class _WindowedStage:
+    """Mixin for stages whose built expression is a window function:
+
+    - ``lca_fuse = False``: a window expression may not reference a
+      lateral column alias (Spark LATERAL_COLUMN_ALIAS_IN_WINDOW), so
+      the fused-select pipeline must flush pending projections these
+      stages depend on.
+    - ``input_columns`` includes the partition/order keys, so both the
+      pipeline toposort and the flush check see the TRUE dependencies
+      (a session id produced by an earlier stage and used as a
+      partition key is a real edge)."""
+
+    lca_fuse = False
+
+    @property
+    def input_columns(self):
+        from kamae_spark.core.stage import Stage
+
+        base = Stage.input_columns.fget(self)
+        extra = [
+            *_as_seq(getattr(self, "partition_by", ())),
+            *[c.lstrip("-") for c in _as_seq(getattr(self, "order_by", ()))],
+        ]
+        return [*base, *extra]
+
+
+class Lag(_WindowedStage, Transformer):
     """Per-partition lag of any column (text/tool/ts/...) — point-in-time safe.
 
     North-rule op; reference has no lag (nearest relative: listwise ops).
@@ -99,7 +129,7 @@ class Lag(Transformer):
         return {self.output_col: F.lag(self.input_col, self.offset, self.default).over(w)}
 
 
-class Lead(Transformer):
+class Lead(_WindowedStage, Transformer):
     """Per-partition lead — NOT point-in-time (label/training use only)."""
 
     @keyword_params
@@ -119,7 +149,7 @@ class Lead(Transformer):
         return {self.output_col: F.lead(self.input_col, self.offset, self.default).over(w)}
 
 
-class RollingAgg(Transformer):
+class RollingAgg(_WindowedStage, Transformer):
     """Rolling aggregate over a trailing row- or time-range frame.
 
     ``rows=k`` -> frame [current-k+1, current] (last k rows incl. current);
@@ -164,7 +194,7 @@ class RollingAgg(Transformer):
         return {self.output_col: _AGGS[self.agg](F.col(self.input_col)).over(w)}
 
 
-class ConditionalRollingCount(Transformer):
+class ConditionalRollingCount(_WindowedStage, Transformer):
     """Rolling count of rows where ``input_col == value`` (role-frequency).
 
     North-rule "rolling role-frequency aggregate": e.g. how many of the
@@ -191,7 +221,7 @@ class ConditionalRollingCount(Transformer):
         return {self.output_col: F.sum(flag).over(w)}
 
 
-class Backfill(Transformer):
+class Backfill(_WindowedStage, Transformer):
     """Forward-fill the latest non-null value at/before the current row.
 
     Point-in-time-correct by construction (frame ends at current row):
@@ -356,6 +386,8 @@ class ListAgg(Transformer):
 class ListRank(Transformer):
     """Row number within a group ordered by sort columns (reference:
     transformers/list_rank.py:97-133)."""
+
+    lca_fuse = False  # window expr: no lateral-alias references
 
     @keyword_params
     def __init__(

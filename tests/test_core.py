@@ -230,3 +230,45 @@ def test_pipeline_fit_prunes_around_big_vocab(spark):
     idx = np.array([(i % 5) + 1 for i in range(20)], dtype=float)
     want = (idx - idx.mean()) / idx.std(ddof=0)
     assert np.allclose(sorted(got), sorted(want), atol=1e-9)
+
+
+def test_500_stage_pipeline_analysis_bounded(spark):
+    """SURVEY §7 risk 4 demonstrated at width (VERDICT r4 #8), both axes.
+
+    BREADTH: 500 independent stages fuse into ONE select (a single
+    Project) — zero per-stage analysis of the accumulated plan.
+
+    CHAIN: 500 dependent stages (each consumes the previous output —
+    the analyzer-hostile shape) compile via lateral-column-alias
+    batches of _MAX_LCA_DEPTH. Cost is LINEAR (~0.1s/stage: py4j +
+    per-stage type resolution), vs O(n^2) pre-round-5 (110s+ and a
+    StackOverflowError through the old lazy-checkpoint valve). The
+    ceiling below is generous for shared-host noise; the point is the
+    scaling shape, which the breadth/chain contrast pins."""
+    import time as _t
+
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.math import Sum
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "c0 double")
+
+    # breadth: one fused select
+    wide = [Sum(input_cols=["c0"], output_col=f"b{i}", constant=float(i))
+            for i in range(500)]
+    t0 = _t.perf_counter()
+    out_w = PipelineModel(wide).transform(df)
+    assert out_w.select("b499").orderBy("c0").first()[0] == 499.0
+    wall_w = _t.perf_counter() - t0
+    assert wall_w < 90.0, f"500-stage breadth took {wall_w:.1f}s"
+    plan = out_w._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Project") <= 2, plan.count("Project")
+
+    # chain: LCA depth-capped batches, linear build cost
+    chain = [Sum(input_cols=[f"c{i}"], output_col=f"c{i+1}", constant=1.0)
+             for i in range(500)]
+    t0 = _t.perf_counter()
+    out_c = PipelineModel(chain).transform(df)
+    rows = out_c.select("c0", "c500").orderBy("c0").limit(3).collect()
+    wall_c = _t.perf_counter() - t0
+    assert [r["c500"] for r in rows] == [500.0, 501.0, 502.0]
+    assert wall_c < 150.0, f"500-stage chain took {wall_c:.1f}s"

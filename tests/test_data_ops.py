@@ -542,3 +542,29 @@ def test_embedding_neardup_chunked_equals_unchunked(spark):
     b = embedding_neardup_pairs(df, "vec", "id", chunk_cap=None, **kw).toPandas()
     key = lambda t: set(zip(t["id_a"], t["id_b"]))
     assert key(a) == key(b) and len(a) == len(b)
+
+
+def test_bucket_pairs_payload_dedup_narrow_exchange(spark):
+    """Cross-band duplicate pairs must collapse to one row with the
+    payload intact, and the dedup exchange must hash-partition on
+    (id_a, id_b) ONLY — not on the payload columns (a vector payload
+    would otherwise be hashed per candidate pair; VERDICT r4 #4)."""
+    from kamae_spark.data.dedup import _bucket_pairs
+
+    # two bands putting the same ids in one bucket -> duplicate pairs
+    band = spark.createDataFrame(
+        [(1, 0, 100, [1.0, 2.0]), (2, 0, 100, [3.0, 4.0]),
+         (1, 1, 200, [1.0, 2.0]), (2, 1, 200, [3.0, 4.0])],
+        "__id long, band int, bucket long, vec array<double>",
+    )
+    for cap in (None, 2):
+        got = _bucket_pairs(band, payload=("vec",), chunk_cap=cap)
+        pdf = got.toPandas()
+        assert len(pdf) == 1
+        row = pdf.iloc[0]
+        assert (row["id_a"], row["id_b"]) == (1, 2)
+        assert list(row["vec_a"]) == [1.0, 2.0] and list(row["vec_b"]) == [3.0, 4.0]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "vec" not in m, plan

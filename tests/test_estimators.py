@@ -440,3 +440,48 @@ def test_big_vocab_duplicate_labels_raise(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         t.transform(df)
+
+
+def test_string_index_cap_boundary_tiebreak_deterministic(spark):
+    """max_num_labels truncation at a frequency-tie boundary must be
+    deterministic: ties break by label ASC, so the alphabetically-first
+    tied labels survive the cap and the rest become OOV (VERDICT r4 #7;
+    the reference's rdd.sortBy leaves this ambiguous)."""
+    from kamae_spark.operators.indexers import StringIndexEstimator
+
+    rows = [("hot",)] * 5 + [(f"t{i:02d}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "s string")
+    for _ in range(2):  # same vocab on refit (determinism, not luck)
+        m = StringIndexEstimator(
+            input_col="s", output_col="i", max_num_labels=4
+        ).fit(df)
+        # hot (freq 5) first, then the tied freq-1 labels in label order
+        assert m.labels == ["hot", "t00", "t01", "t02"]
+    out = {r["s"]: r["i"] for r in m.transform(df).distinct().collect()}
+    # layout: no mask -> OOV bucket 0..0 (num_oov=1 -> always 0+start=0)
+    assert out["hot"] == 1 + 0  # offset = num_oov(1) + start(0) -> index 1
+    assert out["t00"] == 2 and out["t01"] == 3 and out["t02"] == 4
+    for dropped in ("t03", "t07", "t09"):
+        assert out[dropped] == 0  # beyond the cap -> OOV bucket
+
+
+def test_minmax_and_impute_fit_see_input_dtype_cast(spark):
+    """Fitted statistics must be computed over the input_dtype-CAST
+    values (reference estimators/base.py:40-56): 2^24+1 is not
+    representable in float32, so a float-narrowing fit must record
+    16777216, not 16777217 (ADVICE r4)."""
+    from kamae_spark.operators.scalers import (
+        ImputeEstimator, MinMaxScaleEstimator, StandardScaleEstimator,
+    )
+
+    big = 16777217.0  # 2^24 + 1 -> 16777216.0 as float32
+    df = spark.createDataFrame([(big,), (big,)], "v double")
+    mm = MinMaxScaleEstimator(input_col="v", output_col="o",
+                              input_dtype="float").fit(df)
+    assert mm.min == 16777216.0 and mm.max == 16777216.0
+    im = ImputeEstimator(input_col="v", output_col="o",
+                         input_dtype="float").fit(df)
+    assert im.statistic == 16777216.0
+    ss = StandardScaleEstimator(input_col="v", output_col="o",
+                                input_dtype="float").fit(df)
+    assert ss.mean == 16777216.0
