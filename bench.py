@@ -34,6 +34,23 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_CONVS = int(os.environ.get("KAMAE_BENCH_SYNTH_CONVS", "500000"))
 
 
+def _pin_blas_single_thread() -> None:
+    """Pin BLAS to one thread per process BEFORE any numpy loads in the
+    Python workers (they inherit this env in local mode; on a real
+    cluster set spark.executorEnv.* to the same effect).
+
+    The container's OpenBLAS defaults to ~29 threads per dgemm: every
+    Arrow-batch matmul in a worker then fans out over the whole box.
+    That oversubscribes cores task x BLAS-thread (measured: the IVF scan
+    at local[16] improves ~15% with pinning) and silently borrows the
+    idle cores at low parallelism, which INFLATES local[N] throughput
+    and corrupts the N->4N scaling measurement — Spark's parallelism
+    must be the only parallelism, or efficiency compares nothing."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def _session():
     """Tuned local-mode profile (measured in scripts/scaling_experiment.py):
     - shuffle partitions = 4x cores: enough tasks that every core stays
@@ -45,6 +62,7 @@ def _session():
     On a real cluster, re-enable compression (network-bound) and AQE
     coalescing (wide plans); these are local-measurement settings.
     """
+    _pin_blas_single_thread()
     from pyspark.sql import SparkSession
 
     b = (
@@ -58,6 +76,11 @@ def _session():
         .config("spark.shuffle.spill.compress", "false")
         .config("spark.driver.memory", os.environ.get("KAMAE_BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # no-op in local mode (workers inherit the driver env pinned
+        # above); on a real cluster this is the line that matters
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     if os.path.isdir("/dev/shm"):
         b = b.config("spark.local.dir", "/dev/shm/kamae-bench")

@@ -202,27 +202,160 @@ def _bucket_udfs(cents):
     )
 
 
+def _select_topk_np(qi, nid, sc, k: int):
+    """Vectorized per-query top-k of flat (query_idx, neighbor_id, score)
+    arrays. Ordering matches the plan-side rank exactly: score rounded
+    HALF-AWAY-FROM-ZERO to 6 decimals (Spark/DuckDB ROUND semantics)
+    descending, then neighbor_id ascending — rounding BEFORE selection so
+    a rounded-tie winner by id cannot be dropped by a raw-score cut."""
+    import numpy as np
+
+    r = np.copysign(np.floor(np.abs(sc) * 1e6 + 0.5) / 1e6, sc)
+    order = np.lexsort((nid, -r, qi))
+    qs = qi[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    sizes = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, sizes)
+    keep = order[rank < k]
+    return qi[keep], nid[keep], sc[keep]
+
+
+def _scan_topk_fn(cents, Qraw, qn, qids, probe, k: int, compress_cap: int):
+    """mapInPandas generator: per PARTITION, assign each corpus vector to
+    its centroid bucket, rescore it against only the queries probing that
+    bucket, and emit the partition-local per-query top-k. One Arrow pass
+    over the corpus, no join, no corpus shuffle; candidate state is
+    compressed to per-query top-k whenever it exceeds ``compress_cap``
+    rows, so task memory is O(cap + batch) regardless of partition size."""
+    import numpy as np
+    import pandas as pd
+
+    C = cents
+    m = len(qids)
+    # invert probe lists: bucket -> query indices (driver-side, tiny)
+    bq: dict[int, object] = {}
+    for j in range(m):
+        for b in probe[j]:
+            bq.setdefault(int(b), []).append(j)
+    bq = {b: np.asarray(js, dtype=np.int64) for b, js in bq.items()}
+
+    def fn(batches):
+        acc_q, acc_n, acc_s, acc_rows = [], [], [], 0
+
+        def compress():
+            nonlocal acc_q, acc_n, acc_s, acc_rows
+            qi = np.concatenate(acc_q)
+            ni = np.concatenate(acc_n)
+            sc = np.concatenate(acc_s)
+            qi, ni, sc = _select_topk_np(qi, ni, sc, k)
+            acc_q, acc_n, acc_s, acc_rows = [qi], [ni], [sc], len(qi)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            vn = np.linalg.norm(V, axis=1)
+            Vu = V / np.maximum(vn[:, None], 1e-12)
+            assign = np.argmax(Vu @ C.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            sa = assign[order]
+            bounds = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+            for s, e in zip(bounds, np.r_[bounds[1:], len(sa)]):
+                js = bq.get(int(sa[s]))
+                if js is None:
+                    continue
+                rows = order[s:e]
+                S = (V[rows] @ Qraw[js].T) / np.maximum(
+                    np.outer(vn[rows], qn[js]), 1e-300
+                )
+                ok = ids[rows][:, None] != qids[js][None, :]  # no self-match
+                ridx, cidx = np.nonzero(ok)
+                acc_q.append(js[cidx])
+                acc_n.append(ids[rows][ridx])
+                acc_s.append(S[ridx, cidx])
+                acc_rows += len(ridx)
+            if acc_rows > compress_cap:
+                compress()
+        if acc_rows:
+            compress()
+            qi, ni, sc = acc_q[0], acc_n[0], acc_s[0]
+            yield pd.DataFrame(
+                {"query_id": qids[qi], "neighbor_id": ni, "score": sc}
+            )
+
+    return fn
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
     vectorized_rescore: bool = True, salt_partitions: int = 32,
+    strategy: str = "scan", compress_cap: int = 4_000_000,
 ) -> DataFrame:
     """IVF-bucketed ANN: seeded spherical-k-means centroids (fit on a
-    bounded driver sample), numpy-matmul Arrow assignment, bucket-pruned
-    search: each query scans only its `nprobe` closest buckets
-    (~nprobe/K of the corpus).
+    bounded driver sample), bucket-pruned cosine search: each query
+    scans only its `nprobe` closest centroid buckets (~nprobe/K of the
+    corpus). Null vectors on either side are excluded up front.
 
-    Candidate RESCORING (corpus x nprobe/K rows — the true hot loop) is
-    an Arrow-batched numpy pass by default; ``vectorized_rescore=False``
-    falls back to the pure-Column fold (interpreted per element — only
-    for environments where the Python worker is unavailable). Null
-    vectors on either side are excluded up front (they can match
-    nothing and would poison the Arrow batches)."""
+    ``strategy="scan"`` (default, the scale path): the query matrix +
+    per-bucket probe lists ride in the task closure (the query batch is
+    small and broadcast-shaped by construction — same bound as the
+    ``join`` path's broadcast) and the corpus streams through ONE
+    mapInPandas pass that assigns buckets, rescores each vector against
+    only the queries probing its bucket (numpy matmul per bucket-group),
+    and emits the partition-local per-query top-k. No join, no corpus
+    shuffle, and the final rank sees only partitions x queries x k rows
+    — vs the ``join`` strategy, which materializes every
+    (candidate, query) pair as a row (corpus x m x nprobe/K pairs, both
+    vectors serialized through Arrow per pair) and shuffles all of them
+    into the rank window. At a 1536-query batch over 8M vectors that is
+    ~96M pair rows / ~100 GB of Arrow traffic vs ~4 GB for the scan.
+
+    ``strategy="join"`` keeps the pair-join plan (assignment UDF +
+    broadcast bucket join + Arrow pair rescore; ``vectorized_rescore``
+    applies only there). Local top-k ordering in the scan path rounds
+    scores to 6 dp half-away-from-zero (Spark ROUND) before selection so
+    its tie-breaks agree with the plan-side rank; emitted scores are
+    rounded by the plan's ``F.round`` itself."""
+    if strategy not in ("scan", "join"):
+        raise ValueError("strategy must be 'scan' or 'join'")
     corpus = corpus.where(F.col(vec_col).isNotNull())
     queries = queries.where(F.col(vec_col).isNotNull())
     cents = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
-    assign1, topn = _bucket_udfs(cents)
 
+    if strategy == "scan":
+        import numpy as np
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        spark = corpus.sparkSession
+        out_schema = StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ])
+        qp = queries.select(id_col, vec_col).toPandas()
+        if not len(qp):
+            scored = spark.createDataFrame([], out_schema)
+        else:
+            Qraw = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in qp[vec_col]]
+            )
+            qn = np.linalg.norm(Qraw, axis=1)
+            Qu = Qraw / np.maximum(qn[:, None], 1e-12)
+            # same probe selection as the join path's topn udf
+            sims = Qu @ cents.T
+            probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            fn = _scan_topk_fn(
+                cents, Qraw, qn, qp[id_col].to_numpy(), probe, k, compress_cap
+            )
+            scored = corpus.select(id_col, vec_col).mapInPandas(fn, out_schema)
+        scored = scored.select(
+            "query_id", "neighbor_id", F.round("score", 6).alias("score")
+        )
+        return _topk_per_query(scored, k, salt_partitions)
+
+    assign1, topn = _bucket_udfs(cents)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

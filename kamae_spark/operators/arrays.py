@@ -35,10 +35,33 @@ class ArrayTransform(Transformer):
         return {self.output_col: self._out(df, expr)}
 
 
+def _zip_concat(parts, depth: int) -> Column:
+    """Concatenate along the INNERMOST axis: zip array operands level by
+    level, carry scalar operands down unchanged, and at the innermost
+    level concat them with scalars as singleton arrays. Matches the
+    reference (array_concatenate.py:96-259): scalars broadcast to the
+    arrays' N-1 dims with an innermost singleton, arrays zipped to depth
+    N-1, concat applied along the Nth dim. ``parts`` is a list of
+    ``(is_scalar, col)``; all array operands must share nesting depth."""
+    if depth == 0:
+        return F.concat(*[F.array(c) if s else c for s, c in parts])
+    arr = [i for i, (s, _) in enumerate(parts) if not s]
+    zipped = F.arrays_zip(*[parts[i][1].alias(f"_{i}") for i in arr])
+    return F.transform(
+        zipped,
+        lambda z: _zip_concat(
+            [(s, c if s else z[f"_{i}"]) for i, (s, c) in enumerate(parts)],
+            depth - 1,
+        ),
+    )
+
+
 class ArrayConcatenate(Transformer):
     """Assemble a feature vector from N scalar and/or array columns
-    (reference array_concatenate.py:261: scalars wrapped in F.array,
-    arrays concatenated in order)."""
+    (reference array_concatenate.py:96-259): flat arrays concatenate in
+    order with scalars wrapped as singletons; NESTED arrays concatenate
+    along the innermost axis, with scalars appended to every innermost
+    list."""
 
     compatible_dtypes = None
 
@@ -48,12 +71,13 @@ class ArrayConcatenate(Transformer):
         pass
 
     def build(self, df: DataFrame):
-        parts = []
+        parts, max_level = [], 0
         for c in self.input_cols:
             level, _ = column_info(df, c)
-            col = self._in(df, c)
-            parts.append(F.array(col) if level == 0 else col)
-        return {self.output_col: self._out(df, F.concat(*parts), 1)}
+            parts.append((level == 0, self._in(df, c)))
+            max_level = max(max_level, level)
+        expr = _zip_concat(parts, max(max_level - 1, 0))
+        return {self.output_col: self._out(df, expr, max(max_level, 1))}
 
 
 class ArraySplit(Transformer):

@@ -568,3 +568,81 @@ def test_bucket_pairs_payload_dedup_narrow_exchange(spark):
         import re
         for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "vec" not in m, plan
+
+
+# -- IVF scan strategy (round 5) ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _ivf_corpus(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(3000)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(6)
+        .cache()
+    )
+
+
+def test_ivf_scan_equals_join_strategy(_ivf_corpus):
+    """The partition-local scan plan must return EXACTLY the join plan's
+    result (same candidates by construction: same centroids, same probe
+    selection, same rounding/tie order) — including mid-stream top-k
+    compression (compress_cap small enough to trigger per batch)."""
+    q = _ivf_corpus.where(F.col("vec_id") < 40)
+    kw = dict(k=10, n_centroids=12, nprobe=5)
+    ref = ivf_topk(_ivf_corpus, q, "embedding", "vec_id", strategy="join", **kw)
+    ref = sorted(map(tuple, ref.toPandas()[
+        ["query_id", "neighbor_id", "score", "rank"]].values.tolist()))
+    for extra in ({}, {"compress_cap": 50}):
+        got = ivf_topk(_ivf_corpus, q, "embedding", "vec_id",
+                       strategy="scan", **kw, **extra)
+        got = sorted(map(tuple, got.toPandas()[
+            ["query_id", "neighbor_id", "score", "rank"]].values.tolist()))
+        assert got == ref and len(got) == 400
+
+
+def test_ivf_scan_degenerate_equals_brute_force(_ivf_corpus):
+    """nprobe == K probes every bucket -> scan must equal exact top-k."""
+    q = _ivf_corpus.where(F.col("vec_id") < 8)
+    a = ivf_topk(_ivf_corpus, q, "embedding", "vec_id", k=10,
+                 n_centroids=8, nprobe=8, strategy="scan").toPandas()
+    b = brute_force_topk(_ivf_corpus, q, "embedding", "vec_id", k=10).toPandas()
+    key = lambda t: sorted(map(tuple, t[["query_id", "neighbor_id", "rank"]].values.tolist()))
+    assert key(a) == key(b)
+
+
+def test_ivf_scan_string_ids(spark):
+    rng = np.random.RandomState(11)
+    rows = [(f"id_{i:04d}", rng.randn(8).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>").cache()
+    q = df.where(F.col("vec_id") < "id_0005")
+    key = lambda t: sorted(map(tuple, t[["query_id", "neighbor_id", "score", "rank"]].values.tolist()))
+    a = ivf_topk(df, q, "embedding", "vec_id", k=5, n_centroids=6, nprobe=6,
+                 strategy="scan").toPandas()
+    b = ivf_topk(df, q, "embedding", "vec_id", k=5, n_centroids=6, nprobe=6,
+                 strategy="join").toPandas()
+    assert key(a) == key(b) and len(a) == 25
+
+
+def test_ivf_scan_plan_no_join_no_corpus_shuffle(_ivf_corpus):
+    """Plan fence: the scan strategy must have NO join node and must not
+    shuffle the corpus — every hashpartitioning exchange is a rank-window
+    exchange keyed on query_id over partition-local top-k rows only."""
+    import re
+
+    q = _ivf_corpus.where(F.col("vec_id") < 10)
+    out = ivf_topk(_ivf_corpus, q, "embedding", "vec_id", k=10,
+                   n_centroids=12, nprobe=5, strategy="scan")
+    assert out.count() == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all(p.startswith("query_id") for p in parts), parts
+
+
+def test_ivf_scan_empty_queries(_ivf_corpus):
+    q = _ivf_corpus.where("vec_id < -1")
+    out = ivf_topk(_ivf_corpus, q, "embedding", "vec_id", k=5,
+                   n_centroids=8, strategy="scan")
+    assert out.count() == 0

@@ -143,19 +143,26 @@ def test_bucketize_and_math2_chain_stays_codegen(spark, scalar_features):
 
 
 def test_ivf_corpus_side_is_one_arrow_pass(spark):
-    """IVF assignment must be a single ArrowEvalPython over the corpus
-    scan — no per-centroid expression blowup, no corpus shuffle before
-    bucketing."""
+    """IVF corpus side must be ONE Arrow pass over the corpus scan —
+    scan strategy: a single MapInPandas (assign+rescore+local top-k
+    fused), no join node at all; join strategy: a single ArrowEvalPython
+    assignment. Neither may fall back to row-at-a-time Python."""
     from kamae_spark.data.similarity import ivf_topk
     from kamae_spark.sources.synth import embeddings_table
 
     emb = embeddings_table(spark, 300, dim=16, n_clusters=8).cache()
     emb.count()
     q = emb.where(F.col("vec_id") < 2)
-    plan = _executed(ivf_topk(emb, q, "embedding", "vec_id", k=5,
-                              n_centroids=4, nprobe=2))
-    assert "ArrowEvalPython" in plan, plan
+    kw = dict(k=5, n_centroids=4, nprobe=2)
+    plan = _executed(ivf_topk(emb, q, "embedding", "vec_id",
+                              strategy="scan", **kw))
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+    plan = _executed(ivf_topk(emb, q, "embedding", "vec_id",
+                              strategy="join", **kw))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
     emb.unpersist()
 
 
