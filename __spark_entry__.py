@@ -467,7 +467,7 @@ SELECT o_orderkey,
        cast(month(o_orderdate) AS int) AS o_month,
        cast(isodow(o_orderdate) AS int) AS o_dow,
        strftime(cast(o_orderdate AS date) + INTERVAL 30 DAY, '%Y-%m-%d') AS od_plus30,
-       cast(epoch(cast(strftime(o_orderdate, '%Y-%m-%d') AS timestamp)) AS bigint) AS od_unix
+       cast(epoch(cast(strftime(o_orderdate, '%Y-%m-%d') AS timestamp)) AS double) AS od_unix
 FROM orders
 """
 
@@ -939,8 +939,10 @@ SELECT l_orderkey, l_linenumber,
        (l_discount + l_tax) / 2.0 AS dt_mean,
        greatest(l_discount, l_tax) AS dt_max,
        least(l_discount, l_tax) AS dt_min,
-       (((l_linenumber % CAST(-3.0 AS DOUBLE)) + CAST(-3.0 AS DOUBLE))
-          % CAST(-3.0 AS DOUBLE)) + 0.0 AS ln_mod,
+       CASE WHEN (l_linenumber % CAST(-3.0 AS DOUBLE)) >= 0
+            THEN l_linenumber % CAST(-3.0 AS DOUBLE)
+            ELSE (l_linenumber % CAST(-3.0 AS DOUBLE)) + CAST(-3.0 AS DOUBLE)
+       END + 0.0 AS ln_mod,
        floor(l_extendedprice) AS price_floor,
        ceil(l_extendedprice) AS price_ceil,
        round(ln(1.0 + l_extendedprice), 3) AS lp_r3,
@@ -1123,9 +1125,10 @@ def _q_rowwise_dates2(spark: SparkSession, sf_dir: str) -> DataFrame:
             CurrentDate(output_col="today", now=NOW),
             CurrentDateTime(output_col="now_str", now=NOW),
             CurrentUnixTimestamp(output_col="now_ms", unit="ms", now=NOW),
-            UnixTimestampToDateTime(input_col="unix_s", output_col="dt_s", unit="s"),
+            UnixTimestampToDateTime(input_col="unix_s", output_col="dt_s", unit="s",
+                                    include_time=False),
             UnixTimestampToDateTime(input_col="unix_ms", output_col="dt_ms",
-                                    unit="ms", include_millis=True),
+                                    unit="ms"),
         ]
     )
     return model.transform(d).select(
@@ -1146,7 +1149,7 @@ SELECT event_id,
        '2026-08-16 12:34:56.000' AS now_str,
        cast(epoch(TIMESTAMP '2026-08-16 12:34:56') AS bigint) * 1000 AS now_ms,
        strftime(make_timestamp(cast(floor(epoch(ts)) AS bigint) * 1000000),
-                '%Y-%m-%d %H:%M:%S') AS dt_s,
+                '%Y-%m-%d') AS dt_s,
        strftime(make_timestamp(cast(floor(epoch(ts)) AS bigint) * 1000000),
                 '%Y-%m-%d %H:%M:%S')
          || '.' || lpad(cast(event_id % 1000 AS varchar), 3, '0') AS dt_ms

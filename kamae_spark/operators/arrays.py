@@ -81,7 +81,10 @@ class ArrayConcatenate(Transformer):
 
 
 class ArraySplit(Transformer):
-    """One array column -> N scalar output columns (reference array_split.py:83)."""
+    """One array column -> N output columns, splitting the INNERMOST
+    axis: flat [d] -> N scalars, nested [..][d] -> N [..]-shaped columns
+    (reference array_split.py:83; nested pinned by its
+    array_split_nested_expected golden)."""
 
     @keyword_params
     def __init__(self, input_col: str = "", output_cols: Sequence[str] = (),
@@ -89,10 +92,18 @@ class ArraySplit(Transformer):
         pass
 
     def build(self, df: DataFrame):
+        from kamae_spark.functions.arrays import nested_transform
+
         col = self._in(df, self.input_col)
-        # try_element_at: null (not ANSI error) when the array is short
+        level, _ = column_info(df, self.input_col)
+
+        def pick(i: int) -> Column:
+            # try_element_at: null (not ANSI error) when the array is short
+            at = lambda a: F.try_element_at(a, F.lit(i + 1))
+            return at(col) if level <= 1 else nested_transform(col, at, level - 1)
+
         return {
-            name: self._out(df, F.try_element_at(col, F.lit(i + 1)))
+            name: self._out(df, pick(i), max(level - 1, 0))
             for i, name in enumerate(self.output_cols)
         }
 
@@ -173,7 +184,11 @@ def _norm(a: Column) -> Column:
 
 
 class CosineSimilarity(ElementwiseTransform):
-    """Cosine similarity of two vector columns (reference cosine_similarity.py:97)."""
+    """Cosine similarity of two vector columns, reducing the INNERMOST
+    axis — nested inputs broadcast through the outer levels, so shape
+    [..][d] x [..][d] -> [..] (reference cosine_similarity.py:97 via
+    single_input nested transform; nested vectors pinned by its
+    example_dataframe_with_arrays golden)."""
 
     compatible_dtypes = ("float", "double")
 
@@ -183,10 +198,22 @@ class CosineSimilarity(ElementwiseTransform):
         pass
 
     def build(self, df: DataFrame):
+        from kamae_spark.core.dtypes import column_info
+        from kamae_spark.functions.arrays import zipwise
+
         a = self._in(df, self.input_cols[0])
         b = self._in(df, self.input_cols[1])
-        # try_divide: a zero-norm vector yields null, not an ANSI error
-        return {self.output_col: self._out(df, F.try_divide(_dot(a, b), _norm(a) * _norm(b)))}
+
+        def cos(x: Column, y: Column) -> Column:
+            # try_divide: a zero-norm vector yields null, not an ANSI error
+            return F.try_divide(_dot(x, y), _norm(x) * _norm(y))
+
+        level = max(
+            column_info(df, self.input_cols[0])[0],
+            column_info(df, self.input_cols[1])[0],
+        )
+        expr = cos(a, b) if level <= 1 else zipwise([a, b], cos, level - 1)
+        return {self.output_col: self._out(df, expr, max(level - 1, 0))}
 
 
 class PairwiseCosineSimilarity(Transformer):

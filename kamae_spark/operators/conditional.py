@@ -93,9 +93,11 @@ class Bin(ElementwiseTransform):
                 raise ValueError("conditions must be (op, value, label) with known op")
 
     def fn(self, x: Column) -> Column:
+        # labels keep their native type (reference bin.py:296-299 lits
+        # them raw — numeric labels stay numeric, bin_transform_expected_3)
         expr: Column = F.lit(self.default_label)
         for op, value, label in reversed(list(self.conditions)):
-            expr = F.when(_OPS[op](x, F.lit(value)), F.lit(str(label))).otherwise(expr)
+            expr = F.when(_OPS[op](x, F.lit(value)), F.lit(label)).otherwise(expr)
         return expr
 
 

@@ -32,60 +32,65 @@ _DOW = {"Mon": 1, "Tue": 2, "Wed": 3, "Thu": 4, "Fri": 5, "Sat": 6, "Sun": 7}
 
 
 class _Now:
-    """Mixin: UTC 'now' column, injectable for determinism."""
+    """Mixin: UTC 'now' column, injectable for determinism. If an
+    ``input_col`` is set, the constant broadcasts into that column's
+    (possibly nested) array shape — the reference's current_* family
+    takes an input column purely for shape (current_date.py:108-118)."""
 
     def _now(self) -> Column:
         if getattr(self, "now", None):
             return F.to_timestamp(F.lit(self.now))
         return F.to_utc_timestamp(F.localtimestamp(), F.current_timezone())
 
+    @property
+    def input_columns(self):
+        return [self.input_col] if getattr(self, "input_col", None) else []
 
-class CurrentDate(ElementwiseTransform, _Now):
+    def fn(self, x: Column) -> Column:
+        return self._value()
+
+    def build(self, df):
+        if getattr(self, "input_col", None):
+            return ElementwiseTransform.build(self, df)
+        return {self.output_col: self._value()}
+
+
+class CurrentDate(_Now, ElementwiseTransform):
     """UTC today as 'yyyy-MM-dd' string (reference current_date.py:84)."""
 
     @keyword_params
-    def __init__(self, output_col: str, now: str | None = None):
+    def __init__(self, output_col: str, input_col: str | None = None,
+                 now: str | None = None):
         pass
 
-    @property
-    def input_columns(self):
-        return []
-
-    def build(self, df):
-        return {self.output_col: F.date_format(self._now(), "yyyy-MM-dd")}
+    def _value(self) -> Column:
+        return F.date_format(self._now(), "yyyy-MM-dd")
 
 
-class CurrentDateTime(ElementwiseTransform, _Now):
+class CurrentDateTime(_Now, ElementwiseTransform):
     """UTC now as 'yyyy-MM-dd HH:mm:ss.SSS' string (reference current_date_time.py:91)."""
 
     @keyword_params
-    def __init__(self, output_col: str, now: str | None = None):
+    def __init__(self, output_col: str, input_col: str | None = None,
+                 now: str | None = None):
         pass
 
-    @property
-    def input_columns(self):
-        return []
-
-    def build(self, df):
-        return {self.output_col: F.date_format(self._now(), "yyyy-MM-dd HH:mm:ss.SSS")}
+    def _value(self) -> Column:
+        return F.date_format(self._now(), "yyyy-MM-dd HH:mm:ss.SSS")
 
 
-class CurrentUnixTimestamp(ElementwiseTransform, _Now):
+class CurrentUnixTimestamp(_Now, ElementwiseTransform):
     """Epoch now in seconds or milliseconds (reference current_unix_timestamp.py:92)."""
 
     @keyword_params
-    def __init__(self, output_col: str, unit: str = "s", now: str | None = None):
+    def __init__(self, output_col: str, unit: str = "s",
+                 input_col: str | None = None, now: str | None = None):
         if unit not in ("s", "ms"):
             raise ValueError("unit must be s|ms")
 
-    @property
-    def input_columns(self):
-        return []
-
-    def build(self, df):
+    def _value(self) -> Column:
         sec = self._now().cast("double")
-        out = (sec * 1000).cast("bigint") if self.unit == "ms" else sec.cast("bigint")
-        return {self.output_col: out}
+        return (sec * 1000).cast("bigint") if self.unit == "ms" else sec.cast("bigint")
 
 
 class DateAdd(ElementwiseTransform):
@@ -106,17 +111,26 @@ class DateAdd(ElementwiseTransform):
 
 
 class DateDiff(ElementwiseTransform):
-    """Days between two date columns (reference date_diff.py:107-129)."""
+    """Days between two date columns, second minus first (reference
+    date_diff.py:107-129). ``default_value`` replaces the result when
+    EITHER input is the empty string (the reference's missing-date
+    sentinel, date_diff.py:122-129)."""
 
     compatible_dtypes = ("string",)
 
     @keyword_params
     def __init__(self, input_cols: Sequence[str] = (), output_col: str = "",
+                 default_value: int | None = None,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
     def fn(self, a: Column, b: Column) -> Column:
-        return F.datediff(F.to_date(b), F.to_date(a))
+        d = F.datediff(F.to_date(b), F.to_date(a))
+        if self.default_value is not None:
+            return F.when(
+                (a == F.lit("")) | (b == F.lit("")), F.lit(self.default_value)
+            ).otherwise(d)
+        return d
 
 
 class DateParse(ElementwiseTransform):
@@ -145,50 +159,60 @@ class DateParse(ElementwiseTransform):
 
 
 class DateTimeToUnixTimestamp(ElementwiseTransform):
-    """Datetime string -> epoch seconds or milliseconds
-    (reference date_time_to_unix_timestamp.py:88)."""
+    """Datetime (or bare date) string -> epoch as DOUBLE seconds with a
+    millisecond fraction, or *1000 for unit='ms'. The string is always
+    interpreted as UTC regardless of the session timezone, and a
+    date-only input reads as midnight UTC (reference
+    date_time_to_unix_timestamp.py:101-134: ' UTC' / ' 00:00:00.000 UTC'
+    suffixing)."""
 
     compatible_dtypes = ("string",)
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str, unit: str = "s",
                  input_dtype: str | None = None, output_dtype: str | None = None):
-        if unit not in ("s", "ms"):
-            raise ValueError("unit must be s|ms")
+        if unit not in ("s", "ms", "seconds", "milliseconds"):
+            raise ValueError("unit must be s|seconds|ms|milliseconds")
 
     def fn(self, x: Column) -> Column:
-        ts = F.to_timestamp(x)
-        sec = F.unix_timestamp(ts)
-        if self.unit == "s":
-            return sec
-        ms = (F.date_format(ts, "SSS")).cast("bigint")
-        return sec * 1000 + ms
+        is_datetime = F.size(F.split(x, " ")) > 1
+        with_tz = F.when(is_datetime, F.concat(x, F.lit(" UTC"))).otherwise(
+            F.concat(x, F.lit(" 00:00:00.000 UTC"))
+        )
+        ts = F.to_timestamp(with_tz)
+        out = F.unix_timestamp(ts) + F.date_format(ts, "SSS").cast("float") / 1000.0
+        return out if self.unit in ("s", "seconds") else out * 1000.0
 
 
 class UnixTimestampToDateTime(ElementwiseTransform):
-    """Epoch seconds/milliseconds -> datetime string with optional ms
-    precision (reference unix_timestamp_to_date_time.py:104)."""
+    """Epoch seconds/milliseconds -> UTC datetime string
+    'yyyy-MM-dd HH:mm:ss.SSS', or date-only 'yyyy-MM-dd' when
+    ``include_time`` is False. Rendering is UTC regardless of the
+    session timezone (reference unix_timestamp_to_date_time.py:104-156:
+    from_unixtime -> to_utc_timestamp(session tz) -> date_format)."""
 
     compatible_dtypes = ("bigint", "int", "double", "float")
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str, unit: str = "s",
-                 include_millis: bool = False,
+                 include_time: bool = True,
                  input_dtype: str | None = None, output_dtype: str | None = None):
-        if unit not in ("s", "ms"):
-            raise ValueError("unit must be s|ms")
+        if unit not in ("s", "ms", "seconds", "milliseconds"):
+            raise ValueError("unit must be s|seconds|ms|milliseconds")
 
     def fn(self, x: Column) -> Column:
-        if self.unit == "ms":
-            sec = (x.cast("double") / 1000.0)
-        else:
-            sec = x.cast("double")
-        base = F.date_format(F.timestamp_seconds(sec), "yyyy-MM-dd HH:mm:ss")
-        if not self.include_millis:
-            return base
-        millis = (
-            F.when(F.lit(self.unit == "ms"), F.pmod(x.cast("bigint"), 1000))
-            .otherwise(F.lit(0))
-            .cast("string")
+        u = x.cast("double")
+        if self.unit in ("ms", "milliseconds"):
+            u = u / 1000.0
+        sec = F.floor(u).cast("bigint")
+        ms = F.round((u - F.floor(u)) * 1000.0, 0).cast("int")
+        local = F.concat(
+            F.from_unixtime(sec, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("."), F.lpad(ms.cast("string"), 3, "0"),
         )
-        return F.concat(base, F.lit("."), F.lpad(millis, 3, "0"))
+        utc = F.to_utc_timestamp(
+            F.to_timestamp(local, "yyyy-MM-dd HH:mm:ss.SSS"),
+            F.current_timezone(),
+        )
+        fmt = "yyyy-MM-dd HH:mm:ss.SSS" if self.include_time else "yyyy-MM-dd"
+        return F.date_format(utc, fmt)

@@ -89,6 +89,7 @@ class MinHashIndex(ElementwiseTransform):
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
                  num_permutations: int = 64, parity_bit: bool = False,
+                 mask_value: str | None = None,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         if num_permutations < 1:
             raise ValueError("num_permutations must be >= 1")
@@ -102,7 +103,16 @@ class MinHashIndex(ElementwiseTransform):
         if level < 1:
             raise TypeError(f"{self.input_col} must be an array of strings")
 
-        def sig(tokens: Column) -> Column:
+        def sig(raw_tokens: Column) -> Column:
+            # reference min_hash_udf:177-181: nulls (and the mask value,
+            # if set) never contribute to the minimum; an empty residue
+            # hashes the empty string so the signature is total
+            tokens = F.filter(raw_tokens, lambda t: t.isNotNull())
+            if self.mask_value is not None:
+                tokens = F.filter(tokens, lambda t: t != F.lit(self.mask_value))
+            tokens = F.when(F.size(tokens) > 0, tokens).otherwise(
+                F.array(F.lit(""))
+            )
             def one(p: Column) -> Column:
                 m = F.array_min(
                     F.transform(

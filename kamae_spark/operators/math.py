@@ -138,15 +138,18 @@ class Min(_MultiIn):
 
 
 class Modulo(_MultiIn):
-    """x mod y with the result taking the DIVISOR's sign (TF floormod
-    semantics; reference modulo.py:157-192 adds the divisor when x%y is
-    negative — that branch misses positive remainders under a negative
-    divisor, so we use the closed form ((x%y)+y)%y which is true
-    floormod for every sign combination)."""
+    """x mod y, reference-parity semantics (modulo.py:182-190): compute
+    the C-style remainder x%y (sign of the dividend) and add the divisor
+    only when it is negative. For y > 0 this is exactly TF floormod;
+    for y < 0 a POSITIVE remainder is kept as-is (3.0 mod -1.2 -> 0.6,
+    pinned by the reference's own mod_transform_array_col1_col2 vector)
+    even though true floormod would give -0.6 — the reference's Spark
+    and Keras layers disagree there and we match the Spark side."""
 
     def op(self, cs):
         x, y = cs[0], cs[1]
-        return ((x % y) + y) % y
+        m = x % y
+        return F.when(m >= 0, m).otherwise(m + y)
 
 
 class Round(ElementwiseTransform):

@@ -40,6 +40,23 @@ def _array_dim(df: DataFrame, col: str) -> int:
     return int(row["n"])
 
 
+def _vector_rows(src: DataFrame, col: Column, level: int) -> tuple[DataFrame, Column, int]:
+    """Normalize a fit input to one innermost VECTOR per row: level>=2
+    columns have their outer nesting flattened and exploded, so per-index
+    statistics pool across rows AND outer dims (the reference fits per
+    innermost index — its min_max_scale nested golden takes min/max over
+    every inner list of every row). Returns (df, vector column, dim)."""
+    if level >= 2:
+        for _ in range(level - 2):
+            col = F.flatten(col)
+        src = src.select(F.explode(col).alias("__vec"))
+        col = F.col("__vec")
+    row = src.select(F.size(col).alias("n")).where(col.isNotNull()).first()
+    if row is None:
+        raise ValueError("cannot infer array dim of empty fit column")
+    return src, col, int(row["n"])
+
+
 class StandardScaleTransformer(ElementwiseTransform):
     """(x - mean) / stddev, per element for array inputs; mask values
     pass through unscaled (reference transformers/standard_scale.py:99)."""
@@ -109,7 +126,7 @@ class StandardScaleEstimator(Estimator):
             row = src.agg(F.mean(v).alias("m"), F.stddev_pop(v).alias("s")).first()
             mean, std = _f(row["m"]), _f(row["s"])
         else:
-            dim = _array_dim(src, self.input_col)
+            src, c, dim = _vector_rows(src, c, level)
             aggs = []
             for i in range(dim):
                 e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
@@ -223,7 +240,7 @@ class MinMaxScaleEstimator(Estimator):
             row = src.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
             lo, hi = _f(row["lo"]), _f(row["hi"])
         else:
-            dim = _array_dim(src, self.input_col)
+            src, c, dim = _vector_rows(src, c, level)
             aggs = []
             for i in range(dim):
                 e = _masked(F.element_at(c, i + 1).cast("double"), self.mask_value)
@@ -375,14 +392,17 @@ class ConditionalStandardScaleTransformer(ElementwiseTransform):
 
 
 class ImputeTransformer(ElementwiseTransform):
-    """Replace mask-value/null with the fitted statistic (reference
-    transformers/impute.py:146)."""
+    """Replace mask-value/null with the fitted statistic or a constant
+    impute value — numeric OR string columns (reference
+    transformers/impute.py:146 and its string vector, test_impute.py:
+    'a' -> 'hello')."""
 
-    compatible_dtypes = NUMERIC
+    compatible_dtypes = None  # numeric statistics, or string constants
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
-                 statistic: float = 0.0, mask_value: float | None = None,
+                 statistic: float | str = 0.0,
+                 mask_value: float | str | None = None,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 

@@ -197,6 +197,13 @@ def run_phase(store: dict, name: str, cpus: int, **knobs) -> dict:
         print(json.dumps({"phase": name, "cpus": cpus, "verdict": "cached"}),
               file=sys.stderr, flush=True)
         return prior["result"]
+    # re-measuring supersedes this phase@level's attempt history — drop
+    # the old records so (phase, cpus, attempt) stays unique in the store
+    # (the laundering fence asserts that invariant)
+    store["attempts"] = [
+        a for a in store["attempts"]
+        if not (a["phase"] == name and a["cpus"] == cpus)
+    ]
     tried = []
     for attempt in range(1, MAX_ATTEMPTS + 1):
         proc = subprocess.Popen(

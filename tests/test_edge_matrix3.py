@@ -206,60 +206,64 @@ def ny_session(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
-def test_unix_to_datetime_spring_forward_skips_hour(ny_session):
-    """2024-03-10 02:00-03:00 never exists in America/New_York: one
-    minute before the transition renders 01:59, the transition instant
-    renders 03:00."""
+def test_unix_to_datetime_renders_utc_in_any_session(ny_session):
+    """Reference semantics (unix_timestamp_to_date_time.py:134-149):
+    the epoch renders as the UTC wall time regardless of session
+    timezone — DST of the session zone never shifts the output. Instants
+    around the NY spring-forward gap render their plain UTC times."""
     from kamae_spark.operators.datetimes import UnixTimestampToDateTime
 
     trans = _epoch(2024, 3, 10, 7, tz=ZoneInfo("UTC"))  # 02:00 EST
     df = ny_session.createDataFrame([(trans - 60,), (trans,)], "u bigint")
     out = UnixTimestampToDateTime(input_col="u", output_col="d").transform(df)
     got = [r["d"] for r in out.orderBy("u").collect()]
-    assert got == ["2024-03-10 01:59:00", "2024-03-10 03:00:00"]
+    assert got == ["2024-03-10 06:59:00.000", "2024-03-10 07:00:00.000"]
 
 
-def test_unix_to_datetime_fall_back_repeats_hour(ny_session):
-    """2024-11-03 01:30 happens twice (EDT then EST): both instants
-    render the same local string."""
+def test_unix_to_datetime_fall_back_ambiguous_hour_collapses(ny_session):
+    """Reference-faithful corner (unix_timestamp_to_date_time.py:
+    134-149): the epoch is rendered through the SESSION-LOCAL wall and
+    re-interpreted, so the two instants sharing the NY wall time 01:30
+    (EDT then EST) both resolve via the DST-earlier offset — they render
+    the SAME UTC string. One ambiguous hour per year per DST zone; UTC
+    sessions are unaffected. Pinned so the deviation from perfect
+    instant-faithfulness is deliberate, matching the reference."""
     from kamae_spark.operators.datetimes import UnixTimestampToDateTime
 
     edt = _epoch(2024, 11, 3, 5, 30, tz=ZoneInfo("UTC"))  # 01:30 EDT
     est = _epoch(2024, 11, 3, 6, 30, tz=ZoneInfo("UTC"))  # 01:30 EST
     df = ny_session.createDataFrame([(edt,), (est,)], "u bigint")
     out = UnixTimestampToDateTime(input_col="u", output_col="d").transform(df)
-    got = [r["d"] for r in out.collect()]
-    assert got == ["2024-11-03 01:30:00"] * 2
+    got = [r["d"] for r in out.orderBy("u").collect()]
+    assert got == ["2024-11-03 05:30:00.000", "2024-11-03 05:30:00.000"]
 
 
-def test_datetime_to_unix_around_spring_forward(ny_session):
-    """Local times on either side of the missing hour map to instants
-    5h (EST) and 4h (EDT) behind UTC respectively."""
+def test_datetime_to_unix_parses_as_utc_in_any_session(ny_session):
+    """Reference semantics (date_time_to_unix_timestamp.py:101-134):
+    the string is suffixed ' UTC' before parsing, so the session
+    timezone (and its DST gaps) never shifts the result."""
     from kamae_spark.operators.datetimes import DateTimeToUnixTimestamp
 
+    utc = ZoneInfo("UTC")
     df = ny_session.createDataFrame(
         [("2024-03-10 01:30:00",), ("2024-03-10 03:30:00",)], "d string"
     )
     out = DateTimeToUnixTimestamp(input_col="d", output_col="u").transform(df)
     got = [r["u"] for r in out.orderBy("d").collect()]
     assert got == [
-        _epoch(2024, 3, 10, 6, 30, tz=ZoneInfo("UTC")),  # 01:30 EST
-        _epoch(2024, 3, 10, 7, 30, tz=ZoneInfo("UTC")),  # 03:30 EDT
+        pytest.approx(_epoch(2024, 3, 10, 1, 30, tz=utc)),
+        pytest.approx(_epoch(2024, 3, 10, 3, 30, tz=utc)),
     ]
 
 
-def test_datetime_to_unix_ambiguous_fall_back_is_valid_instant(ny_session):
-    """2024-11-03 01:30 is ambiguous (EDT or EST): whichever offset the
-    engine resolves to, the result must be ONE of the two real
-    instants — never a third value or an error."""
+def test_datetime_to_unix_date_only_is_midnight_utc(ny_session):
+    """A bare date reads as 00:00:00.000 UTC (reference
+    date_time_to_unix_timestamp.py:126-129)."""
     from kamae_spark.operators.datetimes import DateTimeToUnixTimestamp
 
-    df = ny_session.createDataFrame([("2024-11-03 01:30:00",)], "d string")
+    df = ny_session.createDataFrame([("2024-11-03",)], "d string")
     (row,) = DateTimeToUnixTimestamp(input_col="d", output_col="u").transform(df).collect()
-    utc = ZoneInfo("UTC")
-    assert row["u"] in {
-        _epoch(2024, 11, 3, 5, 30, tz=utc), _epoch(2024, 11, 3, 6, 30, tz=utc)
-    }
+    assert row["u"] == pytest.approx(_epoch(2024, 11, 3, 0, tz=ZoneInfo("UTC")))
 
 
 def test_date_arithmetic_is_dst_invariant(ny_session):
@@ -299,18 +303,18 @@ def test_date_parse_parts_of_leap_day(spark):
 
 
 def test_unix_roundtrip_in_non_utc_session(ny_session):
-    """epoch -> local string -> epoch is identity for unambiguous
-    instants, regardless of session timezone."""
+    """epoch -> UTC string -> epoch is identity regardless of session
+    timezone (both directions are UTC-pinned)."""
     from kamae_spark.operators.datetimes import (
         DateTimeToUnixTimestamp,
         UnixTimestampToDateTime,
     )
 
-    u = _epoch(2024, 6, 1, 12, 0, 0)  # unambiguous summer instant
+    u = _epoch(2024, 6, 1, 12, 0, 0)
     df = ny_session.createDataFrame([(u,)], "u bigint")
     s = UnixTimestampToDateTime(input_col="u", output_col="d").transform(df)
     back = DateTimeToUnixTimestamp(input_col="d", output_col="u2").transform(s)
-    assert back.first()["u2"] == u
+    assert back.first()["u2"] == pytest.approx(u)
 
 
 def test_datetime_ms_extraction_non_utc(ny_session):
@@ -318,7 +322,8 @@ def test_datetime_ms_extraction_non_utc(ny_session):
 
     df = ny_session.createDataFrame([("2024-06-01 12:00:00.123",)], "d string")
     out = DateTimeToUnixTimestamp(input_col="d", output_col="u", unit="ms").transform(df)
-    assert out.first()["u"] == _epoch(2024, 6, 1, 12) * 1000 + 123
+    want = _epoch(2024, 6, 1, 12, tz=ZoneInfo("UTC")) * 1000 + 123
+    assert out.first()["u"] == pytest.approx(want, abs=0.01)
 
 
 # ---------------------------------------------------------------------------

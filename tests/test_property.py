@@ -91,9 +91,11 @@ def test_sessionize_matches_cumsum_oracle(spark, gaps, threshold):
     xs=st.lists(st.integers(-1000, 1000), min_size=1, max_size=20),
     y=st.integers(-50, 50).filter(lambda v: v != 0),
 )
-def test_modulo_floormod_property(spark, xs, y):
-    """Modulo must equal numpy's floormod (divisor-sign) for all sign
-    mixes (integer-valued doubles: sign semantics without float noise)."""
+def test_modulo_reference_rule_property(spark, xs, y):
+    """Modulo must equal the reference rule (modulo.py:182-190): C-style
+    remainder, plus the divisor only when that remainder is negative.
+    Equals numpy floormod for y > 0; keeps positive remainders for y < 0
+    (integer-valued doubles: sign semantics without float noise)."""
     from kamae_spark.operators.math import Modulo
 
     pdf = pd.DataFrame({"x": [float(x) for x in xs], "y": float(y)})
@@ -102,7 +104,8 @@ def test_modulo_floormod_property(spark, xs, y):
         PipelineModel([Modulo(input_cols=["x", "y"], output_col="m")])
         .transform(df).toPandas().sort_index()
     )
-    exp = np.mod(got["x"].to_numpy(), float(y))
+    fmod = np.fmod(got["x"].to_numpy(), float(y))
+    exp = np.where(fmod >= 0, fmod, fmod + float(y))
     np.testing.assert_allclose(got["m"].to_numpy(), exp, atol=1e-9)
 
 

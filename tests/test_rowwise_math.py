@@ -90,10 +90,12 @@ def test_array_scalar_broadcast(spark):
 
 @pytest.mark.parametrize(
     "x,y,expected",
-    [(7.0, 3.0, 1.0), (-7.0, 3.0, 2.0), (7.0, -3.0, -2.0), (-7.0, -3.0, -1.0)],
+    [(7.0, 3.0, 1.0), (-7.0, 3.0, 2.0), (7.0, -3.0, 1.0), (-7.0, -3.0, -4.0)],
 )
 def test_modulo_divisor_sign(spark, x, y, expected):
-    """TF floormod: result takes the divisor's sign (reference modulo.py:182-190)."""
+    """Reference rule (modulo.py:182-190): C remainder, + divisor only
+    when negative — floormod for y>0, keeps positive remainders for y<0
+    (3.0 mod -1.2 = 0.6 pinned by the reference's own array vector)."""
     df = spark.createDataFrame([(x, y)], "a double, b double")
     got = (
         PipelineModel([Modulo(input_cols=["a", "b"], output_col="m")])

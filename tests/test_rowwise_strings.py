@@ -192,7 +192,7 @@ def test_datetime_ops(datetimes):
             DateDiff(input_cols=["dt", "dt"], output_col="diff0"),
             DateTimeToUnixTimestamp(input_col="dtt", output_col="unix_s_out", unit="s"),
             DateTimeToUnixTimestamp(input_col="dtt", output_col="unix_ms_out", unit="ms"),
-            UnixTimestampToDateTime(input_col="unix_ms", output_col="dt_out", unit="ms", include_millis=True),
+            UnixTimestampToDateTime(input_col="unix_ms", output_col="dt_out", unit="ms"),
         ]
     )
     got = model.transform(datetimes).toPandas().set_index("dt")
@@ -201,8 +201,14 @@ def test_datetime_ops(datetimes):
     assert got.loc["2023-12-31", "ms"] == 123
     assert got.loc["2024-02-29", "plus7"] == "2024-03-07"
     assert (got["diff0"] == 0).all()
-    assert got["unix_s_out"].tolist() == got["unix_s"].tolist()
-    assert got["unix_ms_out"].tolist() == got["unix_ms"].tolist()
+    # double epoch with the millisecond fraction (reference
+    # date_time_to_unix_timestamp.py:121-127)
+    assert got["unix_s_out"].tolist() == pytest.approx(
+        (got["unix_ms"] / 1000.0).tolist()
+    )
+    assert got["unix_ms_out"].tolist() == pytest.approx(
+        got["unix_ms"].tolist(), abs=0.01
+    )
     assert got.loc["2023-12-31", "dt_out"] == "2023-12-31 23:59:59.123"
 
 
