@@ -427,7 +427,15 @@ class ImputeEstimator(Estimator):
 
     def fit(self, df: DataFrame) -> ImputeTransformer:
         src = self._fit_input(df)
-        v = _masked(self._fit_col(src, self.input_col).cast("double"), self.mask_value)
+        level, _ = column_info(df, self.input_col)
+        c = self._fit_col(src, self.input_col)
+        if level > 0:
+            # one scalar statistic pooled over EVERY element of a
+            # (possibly nested) array column (reference estimators/
+            # test_impute.py nested vector: mean over all 36 elements)
+            src = src.select(F.explode(flatten_nested(c, level)).alias("__v"))
+            c = F.col("__v")
+        v = _masked(c.cast("double"), self.mask_value)
         agg = F.mean(v) if self.strategy == "mean" else F.median(v)
         stat = _f(src.agg(agg.alias("st")).first()["st"])
         return ImputeTransformer(
