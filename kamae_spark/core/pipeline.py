@@ -48,7 +48,10 @@ def _toposort(stages: list[Stage]) -> list[Stage]:
             producer[c] = i
 
     deps: list[set[int]] = [
-        {producer[c] for c in s.input_columns if c in producer} for s in stages
+        # output_col == input_col is an in-place replacement (reference
+        # withColumn semantics), not a cycle: skip the self-edge
+        {producer[c] for c in s.input_columns if c in producer and producer[c] != i}
+        for i, s in enumerate(stages)
     ]
     done: list[int] = []
     state = [0] * len(stages)  # 0 unvisited, 1 in-stack, 2 done
@@ -210,6 +213,14 @@ def _fused_transform(
             vdf = df
         exprs = t.build(vdf)
         if exprs is None:
+            flush()
+            df = t.transform(df)
+        elif any(n in df.columns or n in pending for n in exprs):
+            # in-place replacement (output overwrites an existing or
+            # pending column): flush and apply as a replacing select —
+            # the replaced column keeps its position, so a lateral
+            # reference from an appended expr could point backwards;
+            # non-fused application sidesteps that entirely
             flush()
             df = t.transform(df)
         else:

@@ -117,6 +117,15 @@ class Transformer(Stage):
             raise NotImplementedError(
                 f"{type(self).__name__} must override transform() or build()"
             )
+        if any(name in df.columns for name in exprs):
+            # output_col == an existing column: in-place replacement,
+            # matching the reference's withColumn semantics
+            # (pipeline test valid_stages_with_uid_set_same_as_input)
+            base = [
+                exprs[n].alias(n) if n in exprs else F.col(n) for n in df.columns
+            ]
+            extra = [c.alias(n) for n, c in exprs.items() if n not in df.columns]
+            return df.select(*base, *extra)
         return df.select("*", *[c.alias(name) for name, c in exprs.items()])
 
     # -- helpers for subclasses -------------------------------------------

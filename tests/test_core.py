@@ -272,3 +272,60 @@ def test_500_stage_pipeline_analysis_bounded(spark):
     wall_c = _t.perf_counter() - t0
     assert [r["c500"] for r in rows] == [500.0, 501.0, 502.0]
     assert wall_c < 150.0, f"500-stage chain took {wall_c:.1f}s"
+
+
+import pytest
+
+
+def test_pipeline_output_col_overwrites_input_in_place(spark):
+    """Reference pipeline semantics (tests/kamae/spark/pipeline/
+    test_pipeline.py:581-592, valid_stages_with_uid_set_same_as_input):
+    output_col == an existing column replaces it in place (withColumn),
+    preserving column position — not a duplicate, not a cycle."""
+    from kamae_spark.operators.math import AbsoluteValue, Log
+
+    df = spark.createDataFrame([(1, -2.0)], "col1 int, col2 double")
+    out = PipelineModel(
+        [AbsoluteValue(input_col="col2", output_col="col2")]
+    ).transform(df)
+    assert out.columns == ["col1", "col2"]
+    assert out.first()["col2"] == 2.0
+
+    # replacement mid-pipeline: the downstream consumer reads the
+    # replaced value
+    out2 = PipelineModel([
+        AbsoluteValue(input_col="col2", output_col="col2"),
+        Log(input_col="col2", output_col="lg", alpha=1.0),
+    ]).transform(df)
+    r = out2.first()
+    assert r["col2"] == 2.0
+    assert r["lg"] == pytest.approx(1.0986122886681098)
+
+
+def test_pipeline_same_input_diff_dtypes_keeps_schema(spark):
+    """Two stages casting the same input to different dtypes must not
+    mutate the source column's schema (reference test_pipeline.py:
+    561-579): casts compose into each stage's expression."""
+    from kamae_spark.operators.math import AbsoluteValue, Log
+
+    df = spark.createDataFrame([(1, -2.0)], "col1 int, col2 double")
+    out = PipelineModel([
+        Log(input_col="col1", output_col="l1", alpha=1.0, input_dtype="double"),
+        AbsoluteValue(input_col="col1", output_col="a1", input_dtype="float"),
+    ]).transform(df)
+    assert dict(out.dtypes)["col1"] == "int"
+    assert dict(out.dtypes)["a1"] == "float"
+
+
+def test_pipeline_fit_with_in_place_replacement(spark):
+    """Estimators downstream of an in-place replacement fit on the
+    replaced values."""
+    from kamae_spark.operators.math import AbsoluteValue
+    from kamae_spark.operators.scalers import ImputeEstimator
+
+    df = spark.createDataFrame([(-2.0,), (-4.0,)], "col2 double")
+    model = Pipeline([
+        AbsoluteValue(input_col="col2", output_col="col2"),
+        ImputeEstimator(input_col="col2", output_col="imp", strategy="mean"),
+    ]).fit(df)
+    assert model.stages[1].statistic == pytest.approx(3.0)
