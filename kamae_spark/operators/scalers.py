@@ -2,8 +2,11 @@
 
 Fits are single-pass ``df.agg`` jobs (reference estimators/standard_scale.py:
 100-163, min_max_scale.py:102, impute.py:110-162). Per-dimension stats on
-array columns use one agg over ``element_at`` projections — NO explode, no
-shuffle: a map-side partial aggregate that collapses to one row.
+flat array columns use one agg over ``element_at`` projections — a map-side
+partial aggregate that collapses to one row, no shuffle. NESTED (level>=2)
+inputs flatten + explode first so per-innermost-index stats pool across rows
+and outer dims (reference nested goldens); the explode feeds the same
+partial aggregate, still no shuffle beyond the final single-row collect.
 """
 
 from __future__ import annotations
@@ -31,13 +34,6 @@ def _masked(col: Column, mask_value: float | None) -> Column:
     if mask_value is None:
         return col
     return F.when(col != F.lit(mask_value), col)
-
-
-def _array_dim(df: DataFrame, col: str) -> int:
-    row = df.select(F.size(F.col(col)).alias("n")).where(F.col(col).isNotNull()).first()
-    if row is None:
-        raise ValueError(f"cannot infer array dim of empty column {col}")
-    return int(row["n"])
 
 
 def _vector_rows(src: DataFrame, col: Column, level: int) -> tuple[DataFrame, Column, int]:
@@ -293,8 +289,18 @@ class ConditionalStandardScaleEstimator(Estimator):
             src = src.where(self.filter_expr)
         level, _ = column_info(df, self.input_col)
 
+        src_col = F.col(self.input_col)
+        if level >= 2 and self.scaling != "binary":
+            # nested inputs: pool per-innermost-index stats across rows
+            # and outer dims (row filter already applied above). Binary
+            # scaling keeps the row frame — it needs the row-aligned
+            # relevance column, and the reference only exercises it on
+            # level<=1 inputs.
+            src, src_col, _ = _vector_rows(src, src_col, level)
+            level = 1
+
         def elem(i: int | None) -> Column:
-            c = F.col(self.input_col)
+            c = src_col
             v = (c if i is None else F.element_at(c, i + 1)).cast("double")
             return v
 
@@ -321,9 +327,17 @@ class ConditionalStandardScaleEstimator(Estimator):
             else:
                 mean, std = _f(row["a"]), _f(row["b"])
         else:
-            # per-element moments, no explode (reference
-            # conditional_standard_scale.py:398-540 element_struct aggs)
-            dim = _array_dim(src, self.input_col)
+            # per-element moments over src_col (the input column, or the
+            # exploded innermost vectors for nested non-binary inputs;
+            # reference conditional_standard_scale.py:398-540
+            # element_struct aggs)
+            row0 = (
+                src.select(F.size(src_col).alias("n"))
+                .where(src_col.isNotNull()).first()
+            )
+            if row0 is None:
+                raise ValueError("cannot infer array dim of empty fit column")
+            dim = int(row0["n"])
             aggs = []
             for i in range(dim):
                 a, b = moments(i)

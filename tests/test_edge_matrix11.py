@@ -110,3 +110,30 @@ def test_shared_string_index_fit_pools_columns(spark, order, max_labels, expecte
         string_order_type=order, max_num_labels=max_labels,
     ).fit(df)
     assert list(model.labels) == expected
+
+
+# -- ConditionalStandardScaleEstimator fit (reference
+#    estimators/test_conditional_standard_scale.py:20-72) --------------------
+
+
+def test_conditional_standard_scale_fit_matches_plain_standard(spark):
+    """With no filter, the conditional scaler's stats equal the plain
+    standard scaler's (flat + nested pooling)."""
+    from kamae_spark.operators.scalers import ConditionalStandardScaleEstimator
+
+    flat = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 2.0, 6.0],), ([7.0, 8.0, 3.0],)],
+        "v array<double>",
+    )
+    m = ConditionalStandardScaleEstimator(input_col="v", output_col="z").fit(flat)
+    assert m.mean == pytest.approx([4.0, 4.0, 4.0])
+    assert m.stddev == pytest.approx(
+        [2.449489742783178, 2.8284271247461903, 1.4142135623730951]
+    )
+
+    nested = spark.createDataFrame(
+        [(NESTED_1,), (NESTED_2,), (NESTED_3,)], "v array<array<double>>"
+    )
+    m2 = ConditionalStandardScaleEstimator(input_col="v", output_col="z").fit(nested)
+    assert m2.mean == pytest.approx([3.8333333, 1.6666667, 0.5], abs=1e-6)
+    assert m2.stddev == pytest.approx([2.7028791, 4.6067583, 4.2130749], abs=1e-6)
