@@ -211,19 +211,32 @@ class StringListToString(ElementwiseTransform):
 
 
 class StringArrayConstant(ElementwiseTransform):
-    """Inject a constant string array column (reference string_array_constant.py:86)."""
+    """Inject a constant string array column. With an ``input_col`` the
+    constant broadcasts into that column's shape — scalar input gives a
+    flat array, an array input nests the constant per element
+    (reference string_array_constant.py:86 and its transform_expected_2
+    / w_arrays vectors)."""
 
     @keyword_params
     def __init__(self, output_col: str, values: Sequence[str] = (),
+                 input_col: str | None = None,
                  input_dtype: str | None = None, output_dtype: str | None = None):
         pass
 
     @property
     def input_columns(self):
-        return []
+        return [self.input_col] if self.input_col else []
+
+    def _const(self) -> Column:
+        return F.array(*[F.lit(v) for v in self.values])
+
+    def fn(self, x: Column) -> Column:
+        return self._const()
 
     def build(self, df):
-        return {self.output_col: F.array(*[F.lit(v) for v in self.values])}
+        if self.input_col:
+            return super().build(df)
+        return {self.output_col: self._const()}
 
 
 class StringSequenceToEmbedding(_StrIn):
