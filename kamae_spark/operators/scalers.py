@@ -140,10 +140,15 @@ class StandardScaleEstimator(Estimator):
 class SingleFeatureArrayStandardScaleEstimator(Estimator):
     """ONE shared mean/stddev over ALL elements of an array column
     (reference single_feature_array_standard_scale.py:96-146) — computed
-    without explode via per-row F.aggregate partial sums."""
+    without explode via per-row F.aggregate partial sums. Null elements
+    never contribute, and ``mask_value`` elements are excluded from the
+    fit and pass through unscaled at transform time (reference fit
+    tests: with_nulls mean 5.625 over the non-null residue, maskValue=-1
+    mean 4.3636 over the non-pad residue)."""
 
     @keyword_params
     def __init__(self, input_col: str, output_col: str,
+                 mask_value: float | None = None,
                  sample_fraction: float | None = None, seed: int = 42):
         pass
 
@@ -152,6 +157,11 @@ class SingleFeatureArrayStandardScaleEstimator(Estimator):
         level, _ = column_info(df, self.input_col)
         col = F.col(self.input_col)
         flat = col if level <= 1 else flatten_nested(col, level)
+        if self.mask_value is not None:
+            mask = F.lit(float(self.mask_value))
+            flat = F.filter(flat, lambda x: x.isNotNull() & (x != mask))
+        else:
+            flat = F.filter(flat, lambda x: x.isNotNull())
         s1 = F.aggregate(flat, F.lit(0.0), lambda a, x: a + x.cast("double"))
         s2 = F.aggregate(flat, F.lit(0.0), lambda a, x: a + (x * x).cast("double"))
         row = src.agg(
@@ -166,6 +176,7 @@ class SingleFeatureArrayStandardScaleEstimator(Estimator):
         return StandardScaleTransformer(
             input_col=self.input_col, output_col=self.output_col,
             mean=mean, stddev=max(var, 0.0) ** 0.5,
+            mask_value=self.mask_value,
         )
 
 

@@ -137,3 +137,41 @@ def test_conditional_standard_scale_fit_matches_plain_standard(spark):
     m2 = ConditionalStandardScaleEstimator(input_col="v", output_col="z").fit(nested)
     assert m2.mean == pytest.approx([3.8333333, 1.6666667, 0.5], abs=1e-6)
     assert m2.stddev == pytest.approx([2.7028791, 4.6067583, 4.2130749], abs=1e-6)
+
+
+# -- SingleFeatureArrayStandardScaleEstimator fit (reference
+#    estimators/test_single_feature_array_standard_scale.py:42-140) ----------
+
+
+def test_single_feature_array_fit_with_masking(spark):
+    """maskValue=-1: only non-pad elements pool — mean 4.3636364,
+    stddev_pop 2.8371794 over the 11 real values."""
+    from kamae_spark.operators.scalers import SingleFeatureArrayStandardScaleEstimator
+
+    rows = [([4.0, 2.0, 3.0, -1.0, -1.0],), ([4.0, 3.0, -1.0, -1.0, -1.0],),
+            ([7.0, -1.0, -1.0, -1.0, -1.0],), ([7.0, 8.0, 1.0, 9.0, 0.0],)]
+    df = spark.createDataFrame(rows, "col4 array<double>")
+    model = SingleFeatureArrayStandardScaleEstimator(
+        input_col="col4", output_col="z", mask_value=-1.0
+    ).fit(df)
+    assert model.mean == pytest.approx(4.3636364, abs=1e-6)
+    assert model.stddev == pytest.approx(2.8371794, abs=1e-6)
+    # transform: mask elements pass through unscaled
+    first = model.transform(df).first()["z"]
+    assert first[3] == -1.0 and first[4] == -1.0
+    assert first[0] == pytest.approx((4.0 - 4.3636364) / 2.8371794, abs=1e-6)
+
+
+def test_single_feature_array_fit_skips_nulls(spark):
+    """Null elements never contribute: mean 5.625, stddev_pop 2.1758619
+    over the non-null residue."""
+    from kamae_spark.operators.scalers import SingleFeatureArrayStandardScaleEstimator
+
+    rows = [([None, 2.0, 3.0],), ([4.0, None, 6.0],),
+            ([7.0, 8.0, None],), ([7.0, 8.0, None],)]
+    df = spark.createDataFrame(rows, "v array<double>")
+    model = SingleFeatureArrayStandardScaleEstimator(
+        input_col="v", output_col="z"
+    ).fit(df)
+    assert model.mean == pytest.approx(5.625, abs=1e-6)
+    assert model.stddev == pytest.approx(2.1758619, abs=1e-6)
