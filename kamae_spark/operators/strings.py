@@ -57,7 +57,9 @@ class StringConcatenate(_StrIn):
 
 class StringContains(_StrIn):
     """Boolean: does x contain a substring (constant or 2nd column);
-    optional negation (reference string_contains.py:119)."""
+    optional negation. An EMPTY needle matches only the empty string —
+    not everything (reference string_contains.py:140-145 special-cases
+    needle == '' to x == '', pinned by its expected_0 row 5)."""
 
     @keyword_params
     def __init__(self, input_cols: Sequence[str], output_col: str,
@@ -67,7 +69,9 @@ class StringContains(_StrIn):
 
     def fn(self, *cols: Column) -> Column:
         needle = F.lit(self.constant) if self.constant is not None else cols[1]
-        res = cols[0].contains(needle)
+        res = F.when(
+            needle == F.lit(""), cols[0] == F.lit("")
+        ).otherwise(cols[0].contains(needle))
         return ~res if self.negation else res
 
 
