@@ -297,6 +297,28 @@ def main() -> None:
         extras["ivf_queries"] = n_q
         emb.unpersist()
 
+    # simhash near-dup over synthetic documents: JVM signature path
+    # (explode -> xxhash64 -> 64 bit-count aggs) + banded hamming verify.
+    # 0 disables; used by the scaling protocol (KAMAE_SCALING_* phases).
+    n_sh = int(os.environ.get("KAMAE_BENCH_SIMHASH_DOCS", "0"))
+    if n_sh:
+        from pyspark.sql import functions as F
+
+        from kamae_spark.data.dedup import (
+            simhash_pairs_from_sigs, simhash_signatures_jvm)
+        from kamae_spark.sources.synth import documents_table
+
+        docs = documents_table(spark, n_docs=n_sh).cache()
+        docs.count()
+        toks = docs.select(
+            "doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        sigs = simhash_signatures_jvm(toks, "toks", "doc_id")
+        sh = simhash_pairs_from_sigs(sigs, "__sig", "__id", max_hamming=3)
+        _force(sh)  # warm
+        queries["simhash_synth"] = _time_best(sh, "simhash_synth")
+        extras["simhash_docs"] = n_sh
+        docs.unpersist()
+
     # -- big-vocab StringIndex: fit + broadcast-join transform ------------
     # 2M distinct labels against the 1M max_num_labels default exercises
     # the cap-boundary ordering (uniform counts -> the tie-break by label

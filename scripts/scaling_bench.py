@@ -47,6 +47,7 @@ N_LO, N_HI = (int(x) for x in os.environ.get("KAMAE_SCALING_LEVELS", "8,32").spl
 CONVS = os.environ.get("KAMAE_SCALING_CONVS", "3000000")
 TIER2_CONVS = os.environ.get("KAMAE_SCALING_TIER2_CONVS", "5000000")
 MH_DOCS = os.environ.get("KAMAE_SCALING_MINHASH_DOCS", "4000000")
+SH_DOCS = os.environ.get("KAMAE_SCALING_SIMHASH_DOCS", "0")  # 0 = skip phase
 IVF_VECS = os.environ.get("KAMAE_SCALING_IVF_VECS", "8000000")
 IVF_QUERIES = os.environ.get("KAMAE_SCALING_IVF_QUERIES", "1536")
 IVF_CENTROIDS = os.environ.get("KAMAE_SCALING_IVF_CENTROIDS", "512")
@@ -295,6 +296,12 @@ def main() -> None:
     mh_lo = run_phase(store, "minhash-amortized", N_LO, **mh)
     mh_hi = run_phase(store, "minhash-amortized", N_HI, **mh)
 
+    sh_lo = sh_hi = None
+    if int(SH_DOCS):
+        shd = dict(KAMAE_BENCH_SIMHASH_DOCS=SH_DOCS, KAMAE_BENCH_TIMED_PASSES="1")
+        sh_lo = run_phase(store, "simhash-amortized", N_LO, **shd)
+        sh_hi = run_phase(store, "simhash-amortized", N_HI, **shd)
+
     ivf = dict(
         KAMAE_BENCH_IVF_VECS=IVF_VECS, KAMAE_BENCH_IVF_QUERIES=IVF_QUERIES,
         KAMAE_BENCH_IVF_CENTROIDS=IVF_CENTROIDS,
@@ -312,6 +319,16 @@ def main() -> None:
     flag_eff = eff(r_lo, r_hi, "feature_pipeline_synth")
     mh_eff = eff(mh_lo, mh_hi, "minhash_lsh_synth")
     ivf_eff = eff(ivf_lo, ivf_hi, "ivf_topk_synth")
+    sh_eff = eff(sh_lo, sh_hi, "simhash_synth") if sh_lo else None
+    sh_row = (
+        f"\n| simhash_synth ({SH_DOCS} docs) | "
+        f"{sh_lo['queries']['simhash_synth']:.2f} | "
+        f"{sh_hi['queries']['simhash_synth']:.2f} | {sh_eff:.3f} |"
+        if sh_lo else ""
+    )
+    sh_json = (
+        f"\n{json.dumps(sh_lo)}\n{json.dumps(sh_hi)}" if sh_lo else ""
+    )
     tput_lo = r_lo["synth_turns"] / r_lo["queries"]["feature_pipeline_synth"]
     tput_hi = r_hi["synth_turns"] / r_hi["queries"]["feature_pipeline_synth"]
     tput_t2 = tier2["synth_turns"] / tier2["queries"]["feature_pipeline_synth"]
@@ -382,7 +399,7 @@ Workloads:
 | query | local[{N_LO}] sec | local[{N_HI}] sec | efficiency |
 |---|---|---|---|
 | minhash_lsh_synth ({MH_DOCS} docs) | {mh_lo['queries']['minhash_lsh_synth']:.2f} | {mh_hi['queries']['minhash_lsh_synth']:.2f} | {mh_eff:.3f} |
-| ivf_topk_synth ({IVF_VECS} vecs, {IVF_QUERIES} queries) | {ivf_lo['queries']['ivf_topk_synth']:.2f} | {ivf_hi['queries']['ivf_topk_synth']:.2f} | {ivf_eff:.3f} |
+| ivf_topk_synth ({IVF_VECS} vecs, {IVF_QUERIES} queries) | {ivf_lo['queries']['ivf_topk_synth']:.2f} | {ivf_hi['queries']['ivf_topk_synth']:.2f} | {ivf_eff:.3f} |{sh_row}
 
 ## Scale-tier curve (local[{N_HI}], flagship)
 
@@ -411,7 +428,7 @@ Raw bench JSON (kept runs):
 {json.dumps(mh_lo)}
 {json.dumps(mh_hi)}
 {json.dumps(ivf_lo)}
-{json.dumps(ivf_hi)}
+{json.dumps(ivf_hi)}{sh_json}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
@@ -422,6 +439,7 @@ Raw bench JSON (kept runs):
         "efficiency_flagship": round(flag_eff, 3),
         "efficiency_minhash": round(mh_eff, 3),
         "efficiency_ivf": round(ivf_eff, 3),
+        **({"efficiency_simhash": round(sh_eff, 3)} if sh_eff is not None else {}),
         "attempts": len(attempts), "discarded": len(dirty),
     }))
 
