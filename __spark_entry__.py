@@ -32,7 +32,17 @@ GAP_SECONDS = 4 * 3600  # sessionization gap for the events-derived transcripts
 # shared derivation: events -> transcripts / annotations
 # ---------------------------------------------------------------------------
 
-def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _transcripts(
+    spark: SparkSession, sf_dir: str, keep_keys: bool = False
+) -> DataFrame:
+    """events -> transcripts. ``keep_keys=True`` additionally exposes the
+    raw (user_id, event_id) columns so downstream window operators can
+    partition by ``user_id`` and order by ``(ts, event_id)`` — provably
+    the same groups/order as (conv_id, ts, turn_idx), since conv_id is an
+    injective cast of user_id and turn_idx is BY DEFINITION the rank of
+    (ts, event_id) — letting Spark reuse this derivation's Exchange AND
+    Sort instead of re-shuffling on the derived string key (r6 guide
+    §2.4: co-keyed windows share one exchange)."""
     from kamae_spark.operators.windows import ListRank
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -40,6 +50,7 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_col="__rn", group_cols=("user_id",), sort_by=("ts", "event_id")
     )
     t = rank.transform(ev)
+    extra = ["user_id", "event_id"] if keep_keys else []
     return t.select(
         F.col("user_id").cast("string").alias("conv_id"),
         (F.col("__rn") - 1).cast("int").alias("turn_idx"),
@@ -50,7 +61,13 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tool"),
         F.col("ts"),
         F.col("value"),
+        *extra,
     )
+
+
+# window spec over keep_keys transcripts that REUSES the derivation's
+# exchange + sort (identical partition/order semantics, see _transcripts)
+_TKEY = {"partition_by": ("user_id",), "order_by": ("ts", "event_id")}
 
 
 # the same derivation in ANSI SQL (DuckDB oracle side)
@@ -73,13 +90,17 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
-def _annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _annotations(
+    spark: SparkSession, sf_dir: str, keep_keys: bool = False
+) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    extra = ["user_id"] if keep_keys else []
     return ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").cast("string").alias("conv_id"),
         "ts",
         F.col("event_type").alias("label"),
         F.col("value").alias("score"),
+        *extra,
     )
 
 
@@ -91,15 +112,14 @@ def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamae_spark.core.pipeline import PipelineModel
     from kamae_spark.operators.windows import Lag, Lead
 
-    order = ("ts", "turn_idx")
     model = PipelineModel(
         [
-            Lag(input_col="text", output_col="prev_text", order_by=order),
-            Lead(input_col="text", output_col="next_text", order_by=order),
-            Lag(input_col="role", output_col="prev_role", order_by=order, offset=2),
+            Lag(input_col="text", output_col="prev_text", **_TKEY),
+            Lead(input_col="text", output_col="next_text", **_TKEY),
+            Lag(input_col="role", output_col="prev_role", offset=2, **_TKEY),
         ]
     )
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     return model.transform(t).select(
         "conv_id", "turn_idx", "prev_text", "next_text", "prev_role"
     )
@@ -121,16 +141,16 @@ def _q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = PipelineModel(
         [
-            RollingAgg(input_col="value", output_col="turns_5", agg="count", rows=5),
-            RollingAgg(input_col="value", output_col="sum_value_5", agg="sum", rows=5),
-            RollingAgg(input_col="value", output_col="__cum_sum", agg="sum"),
-            RollingAgg(input_col="value", output_col="__cum_n", agg="count"),
+            RollingAgg(input_col="value", output_col="turns_5", agg="count", rows=5, **_TKEY),
+            RollingAgg(input_col="value", output_col="sum_value_5", agg="sum", rows=5, **_TKEY),
+            RollingAgg(input_col="value", output_col="__cum_sum", agg="sum", **_TKEY),
+            RollingAgg(input_col="value", output_col="__cum_n", agg="count", **_TKEY),
             ConditionalRollingCount(
-                input_col="role", output_col="clicks_10", value="click", rows=10
+                input_col="role", output_col="clicks_10", value="click", rows=10, **_TKEY
             ),
         ]
     )
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     out = model.transform(t)
     # hash-exact cross-engine floats: round SUMS (2-decimal-grid inputs make
     # that safe) and derive the mean by identical IEEE division on both
@@ -166,10 +186,11 @@ def _q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_col="value",
         output_col="events_24h",
         agg="count",
+        partition_by=("user_id",),
         order_by=("ts",),
         range_seconds=86400,
     )
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     return op.transform(t).select("conv_id", "turn_idx", "events_24h")
 
 
@@ -185,8 +206,8 @@ FROM t
 def _q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamae_spark.operators.windows import Backfill
 
-    op = Backfill(input_col="tool", output_col="tool_ff", order_by=("ts", "turn_idx"))
-    t = _transcripts(spark, sf_dir)
+    op = Backfill(input_col="tool", output_col="tool_ff", **_TKEY)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     return op.transform(t).select("conv_id", "turn_idx", "tool", "tool_ff")
 
 
@@ -206,10 +227,10 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         output_col="session_idx",
         gap_seconds=GAP_SECONDS,
-        order_by=("ts", "turn_idx"),
         session_id_col="session_id",
+        **_TKEY,
     )
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     return op.transform(t).select("conv_id", "turn_idx", "session_idx", "session_id")
 
 
@@ -234,15 +255,18 @@ def _q_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamae_spark.core.pipeline import PipelineModel
     from kamae_spark.operators.windows import ListAgg, ListRank
 
-    t = _transcripts(spark, sf_dir).withColumn("value_sq", F.col("value") * F.col("value"))
+    t = _transcripts(spark, sf_dir, keep_keys=True).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    g = ("user_id",)
     model = PipelineModel(
         [
-            ListAgg(input_col="value", output_col="v_max", agg="max"),
-            ListAgg(input_col="value", output_col="v_median", agg="median"),
-            ListAgg(input_col="value", output_col="__s", agg="sum"),
-            ListAgg(input_col="value_sq", output_col="__ssq", agg="sum"),
-            ListAgg(input_col="value", output_col="__n", agg="count"),
-            ListRank(output_col="v_rank", sort_by=("-value", "turn_idx")),
+            ListAgg(input_col="value", output_col="v_max", agg="max", group_cols=g),
+            ListAgg(input_col="value", output_col="v_median", agg="median", group_cols=g),
+            ListAgg(input_col="value", output_col="__s", agg="sum", group_cols=g),
+            ListAgg(input_col="value_sq", output_col="__ssq", agg="sum", group_cols=g),
+            ListAgg(input_col="value", output_col="__n", agg="count", group_cols=g),
+            ListRank(output_col="v_rank", group_cols=g, sort_by=("-value", "turn_idx")),
         ]
     )
     out = model.transform(t)
@@ -287,9 +311,14 @@ FROM w
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamae_spark.operators.joins import AsOfJoin
 
-    t = _transcripts(spark, sf_dir)
-    ann = _annotations(spark, sf_dir)
-    op = AsOfJoin(on=("conv_id",), right=ann, strategy="union")
+    # join on the raw long key (same groups as conv_id, its injective
+    # cast): the union-fill window hashes/sorts 8-byte longs, not strings
+    t = _transcripts(spark, sf_dir, keep_keys=True)
+    ann = _annotations(spark, sf_dir, keep_keys=True)
+    op = AsOfJoin(
+        on=("user_id",), right=ann, strategy="union",
+        payload_cols=("label", "score"),
+    )
     return op.transform(t).select("conv_id", "turn_idx", "label_asof", "score_asof")
 
 
@@ -328,10 +357,10 @@ def _q_list_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     op = ListAgg(
         input_col="value", output_col="top3_max", agg="max",
-        group_cols=("conv_id",), segment_col="role",
+        group_cols=("user_id",), segment_col="role",
         top_n=3, sort_by=("turn_idx",), nan_fill=-1.0,
     )
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir, keep_keys=True)
     return op.transform(t).select("conv_id", "turn_idx", "role", "top3_max")
 
 
