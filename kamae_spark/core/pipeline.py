@@ -34,11 +34,30 @@ from pyspark.sql.types import StructType
 from kamae_spark.core.stage import Estimator, Stage, Transformer
 
 
-def _toposort(stages: list[Stage]) -> list[Stage]:
+def _toposort(stages: list[Stage], hoist: bool = False) -> list[Stage]:
     """Order stages so every stage runs after the producers of its inputs.
 
     Stable: preserves user order among independent stages. Raises on
     cycles and on duplicate output column names.
+
+    In-place self-replacement (a stage whose output overwrites one of its
+    own inputs, the reference withColumn idiom) keeps DECLARED-ORDER
+    semantics: a consumer declared BEFORE the replacer reads the
+    pre-replacement value (the reference applies stages sequentially), so
+    no dependency edge is drawn from it to the replacer — this both
+    preserves the sequential meaning and un-breaks the spurious-cycle
+    case (A: x->y then B: y,x->x is valid sequentially).
+
+    ``hoist=True`` additionally schedules stages flagged
+    ``schedule_early`` (shuffling non-projection stages such as AsOfJoin)
+    as early as their dependencies allow. Any topological order of the
+    same dependency DAG computes identical column values for append-only
+    stages, but an early shuffle (a) carries only the columns that exist
+    so far — later projections never ride through its exchange — and (b)
+    leaves behind a hash partitioning that co-keyed window stages reuse
+    instead of re-shuffling (guide §2.3/§2.4). Skipped entirely when any
+    in-place replacement is present: replacement semantics are
+    declared-order-sensitive.
     """
     producer: dict[str, int] = {}
     for i, s in enumerate(stages):
@@ -47,12 +66,28 @@ def _toposort(stages: list[Stage]) -> list[Stage]:
                 raise ValueError(f"duplicate producer for column {c!r}")
             producer[c] = i
 
-    deps: list[set[int]] = [
-        # output_col == input_col is an in-place replacement (reference
-        # withColumn semantics), not a cycle: skip the self-edge
-        {producer[c] for c in s.input_columns if c in producer and producer[c] != i}
-        for i, s in enumerate(stages)
-    ]
+    def self_replacer(i: int) -> bool:
+        s = stages[i]
+        return bool(set(s.output_columns) & set(s.input_columns))
+
+    deps: list[set[int]] = []
+    for i, s in enumerate(stages):
+        d = set()
+        for c in s.input_columns:
+            p = producer.get(c)
+            if p is None or p == i:
+                continue  # base column / in-place self edge
+            if (
+                p > i
+                and c in stages[p].input_columns
+                and c in stages[p].output_columns
+            ):
+                # consumer declared before an in-place replacer of c:
+                # sequential semantics — it reads the ORIGINAL value
+                continue
+            d.add(p)
+        deps.append(d)
+
     done: list[int] = []
     state = [0] * len(stages)  # 0 unvisited, 1 in-stack, 2 done
 
@@ -67,7 +102,12 @@ def _toposort(stages: list[Stage]) -> list[Stage]:
         state[i] = 2
         done.append(i)
 
-    for i in range(len(stages)):
+    roots = list(range(len(stages)))
+    if hoist and not any(self_replacer(i) for i in roots):
+        roots.sort(
+            key=lambda i: (0 if getattr(stages[i], "schedule_early", False) else 1, i)
+        )
+    for i in roots:
         visit(i)
     return [stages[i] for i in done]
 
@@ -96,6 +136,7 @@ _MAX_LCA_DEPTH = 40
 def _fused_transform(
     df: DataFrame, transformers: list[Transformer],
     checkpoint_every: int | None = None,
+    canonical: list[Transformer] | None = None,
 ) -> DataFrame:
     """Apply transformers with select-fusion.
 
@@ -145,6 +186,8 @@ def _fused_transform(
     task serialization with StackOverflowError before any truncation
     happens)."""
     spark = df.sparkSession
+    base_cols = list(df.columns)
+    added: dict[int, list[str]] = {}  # id(stage) -> columns it added
     pending: dict[str, Any] = {}
     depth: dict[str, int] = {}  # lateral-reference depth per pending alias
     vfields: dict[str, Any] = {}  # name -> StructField of TYPED columns
@@ -214,7 +257,9 @@ def _fused_transform(
         exprs = t.build(vdf)
         if exprs is None:
             flush()
+            before = set(df.columns)
             df = t.transform(df)
+            added[id(t)] = [c for c in df.columns if c not in before]
         elif any(n in df.columns or n in pending for n in exprs):
             # in-place replacement (output overwrites an existing or
             # pending column): flush and apply as a replacing select —
@@ -225,11 +270,25 @@ def _fused_transform(
             df = t.transform(df)
         else:
             pending.update(exprs)
+            added[id(t)] = list(exprs)
             for name in exprs:
                 depth[name] = d
                 untyped[name] = None
             untyped_ins.update(ins)
     flush()
+    if canonical is not None and canonical != transformers:
+        # hoisted execution order: restore the column order the canonical
+        # (declared-topological) order would have produced, so callers see
+        # an identical schema regardless of scheduling
+        have = set(df.columns)
+        order = [c for c in base_cols if c in have]
+        order += [
+            c for s in canonical for c in added.get(id(s), ()) if c in have
+        ]
+        seen = set(order)
+        order += [c for c in df.columns if c not in seen]
+        if order != df.columns:
+            df = df.select(*order)
     return df
 
 
@@ -315,7 +374,16 @@ class PipelineModel(Stage):
             ]
             keep = set(targets) | _ancestor_indices(stages, targets)
             stages = [s for i, s in enumerate(stages) if i in keep]
-        return _fused_transform(df, stages, checkpoint_every)  # type: ignore[arg-type]
+        # schedule shuffling stages (schedule_early) as early as their
+        # dependencies allow: their exchange then carries only the
+        # columns produced so far, and co-keyed window stages downstream
+        # reuse the partitioning (values identical in any topo order;
+        # column order restored by _fused_transform)
+        hoisted = _toposort([s for s in stages], hoist=True)
+        return _fused_transform(  # type: ignore[arg-type]
+            df, hoisted, checkpoint_every,
+            canonical=stages if hoisted != stages else None,
+        )
 
     def save(self, path: str) -> None:
         _save_spec(

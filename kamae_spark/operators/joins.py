@@ -56,6 +56,12 @@ class AsOfJoin(Transformer):
     non-key, non-ts).
     """
 
+    # the pipeline schedules this stage as early as its deps allow: the
+    # union-fill exchange then shuffles only pre-existing columns (not
+    # later window/projection outputs) and downstream stages keyed on
+    # the same columns reuse its hash partitioning (guide §2.3/§2.4)
+    schedule_early = True
+
     @keyword_params
     def __init__(
         self,

@@ -329,3 +329,61 @@ def test_pipeline_fit_with_in_place_replacement(spark):
         ImputeEstimator(input_col="col2", output_col="imp", strategy="mean"),
     ]).fit(df)
     assert model.stages[1].statistic == pytest.approx(3.0)
+
+
+def test_inplace_consumer_declared_before_replacer_reads_original(spark):
+    """Reference sequential (withColumn) semantics: a stage declared
+    BEFORE an in-place replacement of a column it consumes reads the
+    PRE-replacement value — the toposort must not silently reorder it
+    after the replacer (r6 advice fix)."""
+    import math
+
+    from kamae_spark.operators.math import AbsoluteValue, Log
+
+    df = spark.createDataFrame([(-0.5,)], "col2 double")
+    out = PipelineModel([
+        Log(input_col="col2", output_col="lg", alpha=1.0),
+        AbsoluteValue(input_col="col2", output_col="col2"),
+    ]).transform(df).first()
+    assert out["col2"] == 0.5
+    assert out["lg"] == pytest.approx(math.log(0.5))  # NOT log(1.5)
+
+
+def test_inplace_replacer_consuming_derived_column_is_not_a_cycle(spark):
+    """A: x->y then B: (y, x)->x is sequentially valid (B replaces x
+    after A read it); the r5 toposort raised a spurious cycle here."""
+    import math
+
+    from kamae_spark.operators.math import Log, Sum
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    out = PipelineModel([
+        Log(input_col="x", output_col="y", alpha=1.0),
+        Sum(input_cols=["y", "x"], output_col="x"),
+    ]).transform(df).first()
+    assert out["y"] == pytest.approx(math.log(2.0))
+    assert out["x"] == pytest.approx(math.log(2.0) + 1.0)
+
+
+def test_asof_hoisted_early_keeps_canonical_schema_and_values(spark, transcripts, annotations):
+    """AsOfJoin declared last is SCHEDULED first (its union shuffle then
+    carries only base columns and the window family reuses the
+    partitioning) but the output schema must keep the declared order
+    and the values must be unchanged."""
+    from kamae_spark.operators.joins import AsOfJoin
+    from kamae_spark.operators.windows import Lag
+
+    order = ("ts", "turn_idx")
+    stages = [
+        Lag(input_col="text", output_col="prev_text", order_by=order),
+        AsOfJoin(on=("conv_id",), right=annotations, strategy="union"),
+    ]
+    out = PipelineModel(stages).transform(transcripts)
+    # asof outputs come after the lag output, as declared
+    cols = out.columns
+    assert cols.index("prev_text") < cols.index("label_asof")
+    # values identical to the sequential (declared-order) application
+    seq = stages[1].transform(stages[0].transform(transcripts))
+    a = out.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = seq.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
