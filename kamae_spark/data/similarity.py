@@ -90,16 +90,141 @@ def _topk_per_query(scored: DataFrame, k: int, salt_partitions: int = 32) -> Dat
     )
 
 
+def _bf_scan_fn(Qraw, qn, qids, k: int, round_dp: int | None,
+                compress_cap: int):
+    """mapInPandas generator for the brute-force scan strategy: score
+    every corpus vector in the partition against the (small) query
+    matrix riding in the closure, keep the partition-local per-query
+    top-k. Floating-point parity with the pure-Column fold it replaces
+    is STRUCTURAL: dot products and norms accumulate dimension-by-
+    dimension left-to-right (one vectorized += per dimension), i.e. the
+    exact operation sequence of ``F.aggregate(zip_with(...))`` per pair
+    — scores are bit-identical, not merely close (the driver hash-
+    compares them against the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(qids)
+
+    def fn(batches):
+        acc_q, acc_n, acc_s, acc_rows = [], [], [], 0
+
+        def compress():
+            nonlocal acc_q, acc_n, acc_s, acc_rows
+            qi = np.concatenate(acc_q)
+            ni = np.concatenate(acc_n)
+            sc = np.concatenate(acc_s)
+            qi, ni, sc = _select_topk_np(qi, ni, sc, k, round_dp)
+            acc_q, acc_n, acc_s, acc_rows = [qi], [ni], [sc], len(qi)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            n, d = V.shape
+            D = np.zeros((n, m))
+            nv = np.zeros(n)
+            for j in range(d):  # left-to-right fold, matches F.aggregate
+                D += V[:, j, None] * Qraw[None, :, j]
+                nv += V[:, j] * V[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = D / (np.sqrt(nv)[:, None] * qn[None, :])
+            ok = ids[:, None] != qids[None, :]  # no self-match
+            ridx, cidx = np.nonzero(ok)
+            acc_q.append(cidx)
+            acc_n.append(ids[ridx])
+            acc_s.append(S[ridx, cidx])
+            acc_rows += len(ridx)
+            if acc_rows > compress_cap:
+                compress()
+        if acc_rows:
+            compress()
+            yield pd.DataFrame(
+                {"query_id": qids[acc_q[0]], "neighbor_id": acc_n[0],
+                 "score": acc_s[0]}
+            )
+
+    return fn
+
+
+def fold_norms(Q):
+    """Per-row L2 norms with left-to-right dimension accumulation (the
+    same operation order as ``_norm``'s fold — see _bf_scan_fn)."""
+    import numpy as np
+
+    nq = np.zeros(len(Q))
+    for j in range(Q.shape[1]):
+        nq += Q[:, j] * Q[:, j]
+    return np.sqrt(nq)
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     k: int = 10, round_scores: int | None = 6, salt_partitions: int = 32,
+    strategy: str = "scan", max_query_rows: int = 65536,
+    compress_cap: int = 4_000_000,
 ) -> DataFrame:
-    """Exact cosine top-k of `queries` (small, broadcast) against
+    """Exact cosine top-k of `queries` (small, broadcast-shaped) against
     `corpus`. Returns (query_id, neighbor_id, score, rank); self-matches
     excluded; rank deterministic via (rounded score desc, neighbor asc).
+
+    ``strategy="scan"`` (default, the scale path): the corpus streams
+    through ONE Arrow pass that scores each vector against the query
+    matrix riding in the task closure and emits the partition-local
+    per-query top-k — no (corpus x queries) pair rows are ever
+    materialized, vs the ``join`` strategy which builds corpus x m rows
+    and evaluates the cosine fold INTERPRETED per element per row
+    (guide §4.1/§4.2; measured ~4x on the sf1.0 corpus). Scores are
+    bit-identical to the join path (see _bf_scan_fn). The query batch
+    is bounded: more than ``max_query_rows`` queries falls back to the
+    join strategy instead of silently OOMing the driver/task closure.
+    Null query/corpus vectors are excluded up front in the scan path
+    (they can match nothing).
+
     The ranking runs through the salted two-phase top-k (see
     _topk_per_query) so small query batches don't serialize the rank
     stage onto n_queries cores."""
+    if strategy not in ("scan", "join"):
+        raise ValueError("strategy must be 'scan' or 'join'")
+    if strategy == "scan":
+        qp = (
+            queries.select(id_col, vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .limit(max_query_rows + 1)
+            .toPandas()
+        )
+        if len(qp) > max_query_rows:
+            strategy = "join"  # bounded fallback, never a silent OOM
+    if strategy == "scan":
+        import numpy as np
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        spark = corpus.sparkSession
+        out_schema = StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ])
+        if not len(qp):
+            scored = spark.createDataFrame([], out_schema)
+        else:
+            Qraw = np.stack([np.asarray(v, dtype=np.float64) for v in qp[vec_col]])
+            fn = _bf_scan_fn(
+                Qraw, fold_norms(Qraw), qp[id_col].to_numpy(), k,
+                round_scores, compress_cap,
+            )
+            scored = (
+                corpus.where(F.col(vec_col).isNotNull())
+                .select(id_col, vec_col)
+                .mapInPandas(fn, out_schema)
+            )
+        score = F.col("score")
+        if round_scores is not None:
+            score = F.round(score, round_scores)
+        scored = scored.select("query_id", "neighbor_id", score.alias("score"))
+        return _topk_per_query(scored, k, salt_partitions)
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -202,15 +327,20 @@ def _bucket_udfs(cents):
     )
 
 
-def _select_topk_np(qi, nid, sc, k: int):
+def _select_topk_np(qi, nid, sc, k: int, round_dp: int | None = 6):
     """Vectorized per-query top-k of flat (query_idx, neighbor_id, score)
     arrays. Ordering matches the plan-side rank exactly: score rounded
-    HALF-AWAY-FROM-ZERO to 6 decimals (Spark/DuckDB ROUND semantics)
-    descending, then neighbor_id ascending — rounding BEFORE selection so
-    a rounded-tie winner by id cannot be dropped by a raw-score cut."""
+    HALF-AWAY-FROM-ZERO to ``round_dp`` decimals (Spark/DuckDB ROUND
+    semantics) descending, then neighbor_id ascending — rounding BEFORE
+    selection so a rounded-tie winner by id cannot be dropped by a
+    raw-score cut. ``round_dp=None`` ranks on raw scores."""
     import numpy as np
 
-    r = np.copysign(np.floor(np.abs(sc) * 1e6 + 0.5) / 1e6, sc)
+    if round_dp is None:
+        r = sc
+    else:
+        p = 10.0 ** round_dp
+        r = np.copysign(np.floor(np.abs(sc) * p + 0.5) / p, sc)
     order = np.lexsort((nid, -r, qi))
     qs = qi[order]
     starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
@@ -292,6 +422,7 @@ def ivf_topk(
     k: int = 10, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
     vectorized_rescore: bool = True, salt_partitions: int = 32,
     strategy: str = "scan", compress_cap: int = 4_000_000,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """IVF-bucketed ANN: seeded spherical-k-means centroids (fit on a
     bounded driver sample), bucket-pruned cosine search: each query
@@ -325,6 +456,19 @@ def ivf_topk(
     cents = fit_centroids(corpus, vec_col, n_centroids, seed=seed)
 
     if strategy == "scan":
+        # bounded collect (advice r5): the scan strategy ships the query
+        # matrix in every task closure — a huge query set must fall back
+        # to the join plan, which degrades gracefully, instead of
+        # silently OOMing the driver on toPandas
+        qp = (
+            queries.select(id_col, vec_col)
+            .limit(int(max_query_rows) + 1)
+            .toPandas()
+        )
+        if len(qp) > max_query_rows:
+            strategy = "join"
+
+    if strategy == "scan":
         import numpy as np
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -334,7 +478,6 @@ def ivf_topk(
             StructField("neighbor_id", corpus.schema[id_col].dataType),
             StructField("score", DoubleType()),
         ])
-        qp = queries.select(id_col, vec_col).toPandas()
         if not len(qp):
             scored = spark.createDataFrame([], out_schema)
         else:
