@@ -362,21 +362,45 @@ class ListAgg(Transformer):
         w = Window.partitionBy(*self._partition_cols())
         df, value, tmp = self._gated_value(df)
         if self.agg == "median":
-            # exact midpoint over the sorted collected group (reference
-            # list_median.py:156-183): even n -> mean of the two middles
-            arr = F.sort_array(
-                F.filter(F.collect_list(value).over(w), lambda x: x.isNotNull())
+            # exact midpoint, reference list_median.py:156-183 semantics
+            # (even n -> mean of the two middles) — computed by RANK
+            # PICKING instead of the previous collect_list + per-row
+            # sort_array, which materialized and re-sorted the whole
+            # group's array FOR EVERY ROW (O(g^2 log g) work and O(g^2)
+            # allocation per group; the dominant cost and GC source of
+            # the list-stats query, guide §1.2/§5). One row_number pass
+            # ordered by value (nulls last, so ranks 1..n are exactly
+            # the non-null values in sorted order) plus partition-window
+            # picks of the two middle ranks; same exchange, one extra
+            # in-partition sort, zero array materialization.
+            rn_tmp = f"__mrn_{self.output_col}"
+            n_tmp = f"__mn_{self.output_col}"
+            vo = make_window(self._partition_cols(), ()).orderBy(
+                value.asc_nulls_last()
             )
-            n = F.size(arr)
-            mid = (n / 2).cast("int")
-            res = F.when(
-                n % 2 == 1, F.element_at(arr, mid + 1).cast("double")
-            ).otherwise(
-                (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0
+            df = df.select(
+                "*",
+                F.row_number().over(vo).alias(rn_tmp),
+                F.count(value).over(w).alias(n_tmp),
+            )
+            n = F.col(n_tmp)
+            lo = ((n + 1) / 2).cast("int")
+            hi = (n / 2).cast("int") + 1
+            rn = F.col(rn_tmp)
+            vlo = F.max(F.when(rn == lo, value)).over(w)
+            vhi = F.max(F.when(rn == hi, value)).over(w)
+            res = F.when(n % 2 == 1, vhi.cast("double")).otherwise(
+                (vlo + vhi) / 2.0
             )
             res = F.when(n > 0, res)
-        else:
-            res = _AGGS[self.agg](value).over(w)
+            if self.nan_fill is not None:
+                res = F.when(
+                    res.isNull() | F.isnan(res.cast("double")),
+                    F.lit(self.nan_fill),
+                ).otherwise(res)
+            df = df.select("*", res.alias(self.output_col)).drop(rn_tmp, n_tmp)
+            return df.drop(tmp) if tmp else df
+        res = _AGGS[self.agg](value).over(w)
         if self.nan_fill is not None:
             res = F.when(res.isNull() | F.isnan(res.cast("double")), F.lit(self.nan_fill)).otherwise(res)
         df = df.select("*", res.alias(self.output_col))
