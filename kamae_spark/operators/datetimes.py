@@ -204,8 +204,13 @@ class UnixTimestampToDateTime(ElementwiseTransform):
         u = x.cast("double")
         if self.unit in ("ms", "milliseconds"):
             u = u / 1000.0
-        sec = F.floor(u).cast("bigint")
-        ms = F.round((u - F.floor(u)) * 1000.0, 0).cast("int")
+        # carry-safe: round TOTAL milliseconds first, then split — the
+        # previous (u - floor(u)) * 1000 rounding could yield ms == 1000
+        # (e.g. 1.9996s), which lpad silently truncated to '100' instead
+        # of carrying into the second
+        tot = F.round(u * 1000.0, 0).cast("bigint")
+        sec = F.floor(tot / 1000.0).cast("bigint")
+        ms = F.pmod(tot, F.lit(1000)).cast("int")
         local = F.concat(
             F.from_unixtime(sec, "yyyy-MM-dd HH:mm:ss"),
             F.lit("."), F.lpad(ms.cast("string"), 3, "0"),

@@ -422,3 +422,17 @@ def test_date_parse_nested_array_with_missing_default(spark):
         input_col="d", output_col="m", date_part="MonthOfYear", default_value=-1
     ).transform(df)
     assert out.first()["m"] == [[1, -1, 4], [-1, 1, -1]]
+
+
+def test_unix_to_datetime_fractional_carry(spark):
+    """Fractional seconds that round up to the next whole second must
+    CARRY (1.9996s -> ...:02.000), not truncate a 4-digit '1000' ms
+    field to '100' (r6 advice fix)."""
+    from kamae_spark.operators.datetimes import UnixTimestampToDateTime
+
+    df = spark.createDataFrame([(1.9996,), (1.4,), (0.9995,)], "u double")
+    out = UnixTimestampToDateTime(input_col="u", output_col="d").transform(df)
+    got = {r["u"]: r["d"] for r in out.collect()}
+    assert got[1.9996] == "1970-01-01 00:00:02.000"
+    assert got[1.4] == "1970-01-01 00:00:01.400"
+    assert got[0.9995] == "1970-01-01 00:00:01.000"
