@@ -29,6 +29,7 @@ import os
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from kamae_spark.core.stage import Estimator, Stage, Transformer
@@ -189,6 +190,7 @@ def _fused_transform(
     base_cols = list(df.columns)
     added: dict[int, list[str]] = {}  # id(stage) -> columns it added
     pending: dict[str, Any] = {}
+    replacing: dict[str, Any] = {}  # in-place replacements, fused (see loop)
     depth: dict[str, int] = {}  # lateral-reference depth per pending alias
     vfields: dict[str, Any] = {}  # name -> StructField of TYPED columns
     untyped: dict[str, None] = {}  # pending aliases awaiting type resolution
@@ -227,9 +229,14 @@ def _fused_transform(
 
     def flush() -> None:
         nonlocal df, flushes
-        if pending:
-            df = df.select("*", *[c.alias(n) for n, c in pending.items()])
+        if pending or replacing:
+            base = [
+                replacing[n].alias(n) if n in replacing else F.col(n)
+                for n in df.columns
+            ]
+            df = df.select(*base, *[c.alias(n) for n, c in pending.items()])
             pending.clear()
+            replacing.clear()
             depth.clear()
             reset_fields()
             flushes += 1
@@ -238,6 +245,12 @@ def _fused_transform(
 
     for t in transformers:
         ins = t.input_columns
+        # a consumer of a pending IN-PLACE REPLACEMENT must read the
+        # replaced value, so materialize the batch first: a same-select
+        # reference to a name that exists in the child resolves against
+        # the CHILD (the pre-replacement value), never the lateral alias
+        if any(c in replacing for c in ins):
+            flush()
         d = 1 + max((depth[c] for c in ins if c in depth), default=0)
         # a window expression cannot reference a lateral alias
         # (LATERAL_COLUMN_ALIAS_IN_WINDOW): window stages whose inputs
@@ -260,21 +273,36 @@ def _fused_transform(
             before = set(df.columns)
             df = t.transform(df)
             added[id(t)] = [c for c in df.columns if c not in before]
-        elif any(n in df.columns or n in pending for n in exprs):
-            # in-place replacement (output overwrites an existing or
-            # pending column): flush and apply as a replacing select —
-            # the replaced column keeps its position, so a lateral
-            # reference from an appended expr could point backwards;
-            # non-fused application sidesteps that entirely
+            continue
+        if any(n in pending or n in replacing for n in exprs):
+            # output overwrites a column produced earlier in THIS batch:
+            # materialize the batch, then apply as a replacing select
             flush()
             df = t.transform(df)
-        else:
-            pending.update(exprs)
-            added[id(t)] = list(exprs)
-            for name in exprs:
-                depth[name] = d
-                untyped[name] = None
-            untyped_ins.update(ins)
+            continue
+        repl = {n: c for n, c in exprs.items() if n in df.columns}
+        if repl and any(c in pending for c in ins):
+            # replacement exprs sit in the select's BASE position and
+            # cannot forward-reference pending lateral aliases
+            flush()
+            d = 1
+        # in-place replacements FUSE into the batch (r6): they rewrite
+        # the base position of the next flushed select instead of each
+        # forcing its own flush + full-width select — 250 replacing
+        # stages previously cost 250 sequential selects (an O(n^2)
+        # analyzer wall measured at 338s; fused: one select, seconds).
+        # Declared-order semantics hold by the child-resolution rule
+        # above: appends batched BEFORE the replacement read the old
+        # value (they were declared earlier), consumers arriving after
+        # hit the flush-on-read guard and see the new value.
+        replacing.update(repl)
+        appends = {n: c for n, c in exprs.items() if n not in repl}
+        pending.update(appends)
+        added[id(t)] = list(appends)
+        for name in appends:
+            depth[name] = d
+            untyped[name] = None
+        untyped_ins.update(ins)
     flush()
     if canonical is not None and canonical != transformers:
         # hoisted execution order: restore the column order the canonical

@@ -492,24 +492,35 @@ def simhash_signatures_jvm(
     anything by content)."""
     t = df.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
     h = t.select("__id", F.xxhash64("__t").alias("__h"))
+    # per-bit ONES counts + one token count, instead of the previous 64
+    # sum(when(bit, +1, -1)) aggregates: sum(+-1) > 0  <=>  2*ones > n,
+    # so the signatures are identical, but the per-row aggregate update
+    # is a branch-free shift+and and the generated code is much smaller.
+    # The sign assembly is a BALANCED OR tree (depth 6) rather than a
+    # 64-deep left-nested when/or chain: the deep chain made Catalyst
+    # optimization + codegen + JIT of the final stage a multi-second
+    # one-time cost that landed nondeterministically inside single-pass
+    # scaling measurements (the r5 simhash 0.677 at 4->16 decomposed to
+    # exactly this stage: scripts/simhash_decomp.py, sig_eff 0.39 with
+    # a fixed ~8.6s parallelism-independent component; steady-state
+    # passes scaled at ~0.99).
     aggs = [
         F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"_b{b}")
+            F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))
+        ).alias(f"_o{b}")
         for b in range(64)
     ]
-    g = h.groupBy("__id").agg(*aggs)
-    acc: Column = F.lit(0).cast("long")
-    for b in range(64):
-        acc = acc.bitwiseOR(
-            F.when(
-                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return g.select("__id", acc.alias("__sig"))
+    g = h.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    terms: list[Column] = [
+        F.shiftleft((F.col(f"_o{b}") * 2 > F.col("__n")).cast("long"), b)
+        for b in range(64)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return g.select("__id", terms[0].alias("__sig"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

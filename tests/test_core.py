@@ -387,3 +387,35 @@ def test_asof_hoisted_early_keeps_canonical_schema_and_values(spark, transcripts
     a = out.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     b = seq.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_500_stage_pipeline_with_inplace_replacements_bounded(spark):
+    """VERDICT r5 #8: the analyzer-cost valve must hold when half the
+    stages are IN-PLACE replacements — each replacement flushes the
+    fused batch and applies as a replacing select (the unfused path), so
+    this pins that 250 flushes stay ceiling-bounded (with the eager-
+    checkpoint lineage valve) instead of regressing to the O(n^2)
+    analyzer wall."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.operators.math import Sum
+
+    n = 250
+    df = spark.range(3).select(
+        F.col("id").cast("double").alias("c0"),
+        *[(F.col("id") * 0 + float(i)).alias(f"r{i}") for i in range(n)],
+    )
+    stages = []
+    for i in range(n):
+        stages.append(Sum(input_cols=["c0"], output_col=f"b{i}", constant=float(i)))
+        stages.append(Sum(input_cols=[f"r{i}"], output_col=f"r{i}", constant=1.0))
+    t0 = _t.perf_counter()
+    out = PipelineModel(stages).transform(df, checkpoint_every=25)
+    row = out.orderBy("c0").select("c0", f"b{n-1}", f"r{n-1}", "r0").first()
+    wall = _t.perf_counter() - t0
+    assert row[f"b{n-1}"] == row["c0"] + float(n - 1)
+    assert row[f"r{n-1}"] == float(n - 1) + 1.0
+    assert row["r0"] == 1.0
+    assert wall < 240.0, f"500-stage in-place pipeline took {wall:.1f}s"
