@@ -355,12 +355,16 @@ def minhash_lsh_pairs(
     # leak cached blocks past the call in a long-lived session
     cand = _bucket_pairs(band, chunk_cap=chunk_cap).localCheckpoint(eager=True)
     n_cand = cand.count()
-    # no distinct: the LEFT SEMI probe dedups keys in its own hash build,
-    # so a distinct here only added a full shuffle of the id table per
-    # run (the broadcast ships <= 2*n_cand ids either way)
+    # the distinct looks redundant (a LEFT SEMI probe dedups keys in its
+    # hash build) but it is what BOUNDS the broadcast: without it the
+    # broadcast ships 2*n_cand rows — at dense banding (bands=num_perm,
+    # the exhaustive-recall oracle setting) that is quadratic in bucket
+    # occupancy and OOMs a default-memory driver (observed at sf0.1);
+    # with it the broadcast is <= the distinct candidate DOC count
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
     )
     if 2 * n_cand <= broadcast_cand_rows:
         cand_ids = F.broadcast(cand_ids)
