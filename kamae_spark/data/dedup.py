@@ -361,10 +361,19 @@ def minhash_lsh_pairs(
     # the exhaustive-recall oracle setting) that is quadratic in bucket
     # occupancy and OOMs a default-memory driver (observed at sf0.1);
     # with it the broadcast is <= the distinct candidate DOC count
+    # dedup partitioning is DATA-ADAPTIVE (guide §2.2: size partitions
+    # from the input, not the core count): n_cand is already known, so
+    # a small candidate set dedups in a handful of reduce tasks instead
+    # of paying the session's full shuffle.partitions in scheduling
+    # overhead per run (measured ~0.5s of fixed cost at 128 partitions
+    # for a 5k-row id table); repartition-by-key already satisfies the
+    # dedup's clustering, so dropDuplicates adds no second exchange
+    n_parts = max(1, min(2 * n_cand // 100_000 + 1, 2048))
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .unionByName(cand.select(F.col("id_b").alias("__id")))
-        .distinct()
+        .repartition(n_parts, "__id")
+        .dropDuplicates()
     )
     if 2 * n_cand <= broadcast_cand_rows:
         cand_ids = F.broadcast(cand_ids)
