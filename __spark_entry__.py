@@ -46,13 +46,28 @@ def _transcripts(
     from kamae_spark.operators.windows import ListRank
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # keep_keys=False consumers window on the conv_id STRING (operator
+    # defaults), so rank over the pre-cast string there: the derivation
+    # then leaves hash(conv_id) partitioning behind and those windows
+    # reuse it instead of re-shuffling (identical groups either way —
+    # the cast is injective)
+    key = "user_id" if keep_keys else "conv_id"
+    if not keep_keys:
+        ev = ev.withColumn("conv_id", F.col("user_id").cast("string"))
     rank = ListRank(
-        output_col="__rn", group_cols=("user_id",), sort_by=("ts", "event_id")
+        output_col="__rn", group_cols=(key,), sort_by=("ts", "event_id")
     )
     t = rank.transform(ev)
     extra = ["user_id", "event_id"] if keep_keys else []
+    # forward the ATTRIBUTE (not a fresh equal expression) when it
+    # exists, so alias-aware output partitioning carries hash(conv_id)
+    # through this projection to downstream windows
+    conv = (
+        F.col("user_id").cast("string").alias("conv_id")
+        if keep_keys else F.col("conv_id")
+    )
     return t.select(
-        F.col("user_id").cast("string").alias("conv_id"),
+        conv,
         (F.col("__rn") - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
