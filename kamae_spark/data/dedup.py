@@ -367,8 +367,14 @@ def minhash_lsh_pairs(
     # of paying the session's full shuffle.partitions in scheduling
     # overhead per run (measured ~0.5s of fixed cost at 128 partitions
     # for a 5k-row id table); repartition-by-key already satisfies the
-    # dedup's clustering, so dropDuplicates adds no second exchange
-    n_parts = max(1, min(2 * n_cand // 100_000 + 1, 2048))
+    # dedup's clustering, so dropDuplicates adds no second exchange.
+    # Floored at min(16, defaultParallelism): a 1-task dedup stage is a
+    # serialization point whose wall is hostage to whichever core it
+    # lands on (guide §2.5 stragglers) — 16 tasks absorb interference
+    # and measure slightly FASTER than 1 even on an idle box, while
+    # keeping the 128-task scheduling overhead off small candidate sets
+    floor = min(16, df.sparkSession.sparkContext.defaultParallelism)
+    n_parts = max(floor, min(2 * n_cand // 100_000 + 1, 2048))
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .unionByName(cand.select(F.col("id_b").alias("__id")))
