@@ -604,9 +604,15 @@ FROM t JOIN vocab v ON t.role = v.label CROSS JOIN stats st
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.data.partitioning import ensure_scan_parallelism
     from kamae_spark.data.text import Fingerprint, TokenCount
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the regex/md5 map work inherits the scan's partitioning — a small
+    # single-file corpus reads as ONE partition and serializes it on a
+    # single core (guide §2.1/§6.2); no-op at multi-file layouts
+    d = ensure_scan_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     model = PipelineModel(
         [
             TokenCount(input_col="text", output_col="n_tokens", mode="whitespace"),
@@ -1477,9 +1483,12 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LanguageId + QualityScore + regex TokenCount (pure regexp exprs,
     fully SQL-oracled)."""
     from kamae_spark.core.pipeline import PipelineModel
+    from kamae_spark.data.partitioning import ensure_scan_parallelism
     from kamae_spark.data.text import LanguageId, QualityScore, TokenCount
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = ensure_scan_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     model = PipelineModel(
         [
             LanguageId(input_col="text", output_col="lang_id"),

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from kamae_spark.core.stage import keyword_params
+from kamae_spark.data.partitioning import ensure_scan_parallelism
 from kamae_spark.data.text import Fingerprint
 from kamae_spark.operators.rowwise import ElementwiseTransform
 
@@ -46,6 +47,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
     """One surviving row id per distinct (normalized) text: the minimum
     id. Returns (fingerprint, keep_id, n_dups). Single shuffle on the
     md5 digest; map-side partial aggregation handles heavy duplication."""
+    df = ensure_scan_parallelism(df, id_col)
     key = Fingerprint.normalized(F.col(text_col)) if normalize else F.col(text_col)
     return (
         df.select(F.md5(key).alias("fingerprint"), F.col(id_col))
@@ -116,7 +118,9 @@ def ngram_jaccard_pairs(
     the knob that bounds the quadratic term. For unblocked sub-quadratic
     behavior use minhash_lsh_pairs."""
     grams = shingles(F.col(text_col), n, tokenizer).alias("__grams")
-    sel = df.select(F.col(id_col).alias("__id"), grams, *block_cols)
+    sel = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col).alias("__id"), grams, *block_cols
+    )
     keys = [F.col(c) for c in block_cols]
     if length_bucket:
         sel = sel.withColumn("__lb", (F.size("__grams") / length_bucket).cast("int"))
@@ -327,7 +331,9 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    src = ensure_scan_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")), "__id"
+    )
     gsel = src.select("__id", shingles(F.col("__t"), n, tokenizer).alias("__g"))
     base = _signatures_from_grams(gsel, num_perm)
     # band keys as plain multi-arg xxhash64 over element_at projections:
@@ -509,7 +515,9 @@ def simhash_signatures_jvm(
     are not interchangeable between the two paths. Docs with empty/null
     token arrays produce no signature row (they cannot be near-dups of
     anything by content)."""
-    t = df.select(F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t"))
+    t = ensure_scan_parallelism(df, id_col).select(
+        F.col(id_col).alias("__id"), F.explode(tokens_col).alias("__t")
+    )
     h = t.select("__id", F.xxhash64("__t").alias("__h"))
     # per-bit ONES counts + one token count, instead of the previous 64
     # sum(when(bit, +1, -1)) aggregates: sum(+-1) > 0  <=>  2*ones > n,
@@ -620,7 +628,7 @@ def simhash_neardup_pairs(
     if signature == "jvm":
         sig = simhash_signatures_jvm(df, tokens_col, id_col)
     elif signature == "arrow":
-        sig = df.select(
+        sig = ensure_scan_parallelism(df, id_col).select(
             F.col(id_col).alias("__id"), _simhash64(F.col(tokens_col)).alias("__sig")
         )
     else:

@@ -16,6 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# NOTE: the scan strategies deliberately do NOT apply
+# kamae_spark.data.partitioning.ensure_scan_parallelism to the corpus:
+# per-row work here is a handful of FLOPs per dimension, so a corpus
+# repartition would shuffle heavy vector payloads to parallelize cheap
+# math — measured a net LOSS (ann_topk 0.41 -> 0.52s at a 20k single-
+# file corpus) where the text/hash/shingle ops (high CPU per byte)
+# measure large wins from the same guard.
+
 
 def cosine_pairs_udf():
     """Arrow-vectorized pairwise cosine: one numpy matmul-shaped pass per

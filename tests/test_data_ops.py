@@ -646,3 +646,35 @@ def test_ivf_scan_empty_queries(_ivf_corpus):
     out = ivf_topk(_ivf_corpus, q, "embedding", "vec_id", k=5,
                    n_centroids=8, strategy="scan")
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scan-parallelism guard (kamae_spark/data/partitioning.py)
+# ---------------------------------------------------------------------------
+
+def test_ensure_scan_parallelism_redistributes_and_noops(spark):
+    from kamae_spark.data.partitioning import ensure_scan_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).coalesce(1)
+    up = ensure_scan_parallelism(one, "id")
+    assert up.rdd.getNumPartitions() == target
+    # already-parallel input: returned untouched, no exchange added
+    wide = spark.range(1000).repartition(target, "id")
+    assert ensure_scan_parallelism(wide, "id") is wide
+
+
+def test_exact_dedup_single_partition_input_parallelizes_identically(spark):
+    from kamae_spark.data.partitioning import ensure_scan_parallelism  # noqa: F401
+    from kamae_spark.sources.synth import documents_table
+
+    docs = documents_table(spark, n_docs=500)
+    one = docs.coalesce(1)
+    a = exact_dedup(one, "text", "doc_id").toPandas()
+    b = exact_dedup(docs, "text", "doc_id").toPandas()
+    key = lambda p: sorted(map(tuple, p[["fingerprint", "keep_id", "n_dups"]].values.tolist()))
+    assert key(a) == key(b)
+    # the map-side digest work must run at session parallelism: the plan
+    # repartitions the single-partition scan before the md5 projection
+    plan = exact_dedup(one, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
